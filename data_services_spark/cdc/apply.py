@@ -1,0 +1,281 @@
+"""The CDC apply loop: change chunks -> LWW dedup -> bucket-pruned MERGE.
+
+Per replay chunk (SURVEY.md §7.0, restating the reference's
+fetch/validate/stage/commit lifecycle ``FAIMMS/REALTIME/faimms.py:123-229``
+as one declarative plan):
+
+1. slice the change stream to ``lsn in (lo, hi]`` (incremental scan — the
+   checkpoint-bounded download-range idiom, ``aims_realtime_util.py:300-350``);
+2. validation gates -> quarantine branch (``faimms.py:199-207``);
+3. LWW dedup to one row per ``(conv_id, turn_idx)`` (map-side-combining
+   aggregate; explicit salting available for pathological hot keys);
+4. MERGE: union the deduped winners with the *current rows of only the
+   affected buckets*, re-run LWW against the stored ``(ts, lsn)`` of each
+   target row, drop delete-winners, rewrite those buckets copy-on-write.
+   Unaffected buckets carry forward as metadata. Because the target keeps
+   each row's writer ``(ts, lsn)``, re-applying any already-committed chunk
+   (or any overlap) is a physical no-op on row content — at-least-once
+   delivery + idempotent apply = exactly-once effect;
+5. one atomic snapshot commit whose summary carries the new offsets
+   (``last_lsn``, per-bucket watermarks) — checkpoint and data are the same
+   commit, the invariant the reference approximates by saving channel info
+   only after the move succeeds (``faimms.py:218-225``) and deriving the
+   watermark from committed output (``pickle_db.py:64-85``);
+6. lineage + metrics rows per (batch, bucket) appended to their tables.
+
+Resume = read offsets from the last committed snapshot; a chunk whose ``hi``
+is <= the committed LSN is skipped outright.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lake.table import LakeTable
+from .dedup import lww_dedup
+from .planner import plan_replay
+from .schemas import KEY_COLS, LINEAGE_SCHEMA, ORDER_COLS, TRANSCRIPTS_SCHEMA
+from .validate import split_valid
+
+
+@dataclass
+class ChunkStats:
+    batch_id: int
+    lo: int
+    hi: int
+    n_events: int = 0
+    n_upserts: int = 0
+    n_deletes: int = 0
+    n_quarantined: int = 0
+    duration_ms: int = 0
+    skipped: bool = False
+    snapshot_id: int | None = None
+    affected_buckets: list[int] = field(default_factory=list)
+
+
+class CdcApplier:
+    def __init__(
+        self,
+        spark: SparkSession,
+        target: LakeTable,
+        lineage: LakeTable | None = None,
+        quarantine: LakeTable | None = None,
+        dedup_method: str = "max_by",
+        salt_buckets: int = 64,
+        with_lineage: bool = True,
+    ):
+        self.spark = spark
+        self.target = target
+        self.lineage = lineage
+        self.quarantine = quarantine
+        self.dedup_method = dedup_method
+        self.salt_buckets = salt_buckets
+        self.with_lineage = with_lineage
+
+    # ------------------------------------------------------------- bootstrap
+    @classmethod
+    def bootstrap(
+        cls,
+        spark: SparkSession,
+        root: str,
+        bucket_count: int = 16,
+        **kwargs: Any,
+    ) -> "CdcApplier":
+        """Create the target/lineage/quarantine tables under ``root``."""
+        target = LakeTable.create(
+            spark, f"{root}/transcripts", TRANSCRIPTS_SCHEMA, KEY_COLS, bucket_count
+        )
+        lineage = LakeTable.create(
+            spark, f"{root}/lineage", LINEAGE_SCHEMA, ["source_partition"], 4
+        )
+        from .schemas import CHANGES_SCHEMA
+        from pyspark.sql import types as T
+
+        q_schema = T.StructType(
+            CHANGES_SCHEMA.fields
+            + [
+                T.StructField("reason", T.StringType(), True),
+                T.StructField("batch_id", T.LongType(), True),
+            ]
+        )
+        quarantine = LakeTable.create(spark, f"{root}/quarantine", q_schema, ["lsn"], 4)
+        return cls(spark, target, lineage, quarantine, **kwargs)
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str, **kwargs: Any) -> "CdcApplier":
+        return cls(
+            spark,
+            LakeTable(spark, f"{root}/transcripts"),
+            LakeTable(spark, f"{root}/lineage"),
+            LakeTable(spark, f"{root}/quarantine"),
+            **kwargs,
+        )
+
+    # ------------------------------------------------------------ checkpoint
+    def committed_lsn(self) -> int | None:
+        """The authoritative checkpoint: offsets recorded in the last
+        committed snapshot's summary."""
+        off = self.target.snapshot().summary.get("offsets")
+        return None if off is None else off.get("last_lsn")
+
+    # ----------------------------------------------------------------- apply
+    def apply_chunk(self, chunk: DataFrame, lo: int, hi: int, batch_id: int) -> ChunkStats:
+        t0 = time.monotonic()
+        stats = ChunkStats(batch_id=batch_id, lo=lo, hi=hi)
+
+        committed = self.committed_lsn()
+        if committed is not None and hi <= committed:
+            stats.skipped = True  # duplicate chunk replay -> no-op
+            return stats
+
+        snap = self.target.snapshot()
+        bucket_col = self.target.bucket_col()
+
+        valid, quarantined = split_valid(chunk)
+
+        # ONE small aggregate pass gives per-bucket metrics, quarantine
+        # counts AND the affected-bucket list (collect is <= bucket_count + 1
+        # rows, never data-sized). Invalid rows group under their bucket too
+        # (hash of a NULL key is defined), so lineage attributes them.
+        from .validate import validation_reason
+
+        ok = validation_reason(chunk).isNull()
+        per_bucket = (
+            chunk.withColumn("_ok", ok)
+            .withColumn("_b", bucket_col)
+            .groupBy("_b")
+            .agg(
+                F.sum(F.col("_ok").cast("long")).alias("n_events"),
+                F.sum((F.col("_ok") & (F.col("op") != "D")).cast("long")).alias("n_upserts"),
+                F.sum((F.col("_ok") & (F.col("op") == "D")).cast("long")).alias("n_deletes"),
+                F.sum((~F.col("_ok")).cast("long")).alias("n_quarantined"),
+                F.min(F.when(F.col("_ok"), F.col("lsn"))).alias("min_lsn"),
+                F.max(F.when(F.col("_ok"), F.col("lsn"))).alias("max_lsn"),
+                F.min(F.when(F.col("_ok"), F.col("ts"))).alias("min_ts"),
+                F.max(F.when(F.col("_ok"), F.col("ts"))).alias("max_ts"),
+            )
+            .collect()
+        )
+        stats.n_quarantined = sum(r["n_quarantined"] for r in per_bucket)
+        per_bucket = [r for r in per_bucket if r["n_events"] > 0]
+        if not per_bucket:
+            # nothing valid in the chunk — still advance the offset so the
+            # chunk is never replayed (empty commit, metadata only)
+            if stats.n_quarantined:
+                self._write_quarantine(quarantined, batch_id)
+            self.target.replace_buckets(
+                self.target.read(buckets=[]),
+                [],
+                summary=self._summary(snap, hi, batch_id, {}),
+                expected_parent=snap.snapshot_id,
+            )
+            stats.duration_ms = int((time.monotonic() - t0) * 1000)
+            return stats
+
+        affected = sorted(int(r["_b"]) for r in per_bucket)
+        stats.affected_buckets = affected
+        stats.n_events = sum(r["n_events"] for r in per_bucket)
+        stats.n_upserts = sum(r["n_upserts"] for r in per_bucket)
+        stats.n_deletes = sum(r["n_deletes"] for r in per_bucket)
+
+        # --- the merge plan (single pass: union -> LWW aggregate -> write)
+        deduped = lww_dedup(
+            valid,
+            keys=KEY_COLS,
+            order=ORDER_COLS,
+            method=self.dedup_method,
+            salt_buckets=self.salt_buckets,
+        )
+        current = self.target.read(buckets=affected).withColumn("op", F.lit("K"))
+        united = current.unionByName(deduped, allowMissingColumns=True)
+        winners = lww_dedup(united, keys=KEY_COLS, order=ORDER_COLS, method="max_by")
+        merged = winners.where(F.col("op") != "D").drop("op")
+
+        # column order: existing schema first, additive columns appended
+        existing = [f.name for f in snap.schema.fields]
+        new_cols = [c for c in merged.columns if c not in existing]
+        merged = merged.select(*existing, *new_cols)
+
+        per_part = {str(b): int(r["max_lsn"]) for b, r in zip(affected, per_bucket)}
+        new_snap = self.target.replace_buckets(
+            merged,
+            affected,
+            summary=self._summary(snap, hi, batch_id, per_part),
+            sort_cols=KEY_COLS,
+            expected_parent=snap.snapshot_id,
+        )
+        stats.snapshot_id = new_snap.snapshot_id
+
+        if stats.n_quarantined:
+            self._write_quarantine(quarantined, batch_id)
+        stats.duration_ms = int((time.monotonic() - t0) * 1000)
+
+        if self.with_lineage and self.lineage is not None:
+            rows = [
+                {
+                    "batch_id": batch_id,
+                    "source_partition": int(r["_b"]),
+                    "n_events": r["n_events"],
+                    "n_upserts": r["n_upserts"],
+                    "n_deletes": r["n_deletes"],
+                    "n_quarantined": r["n_quarantined"],
+                    "min_lsn": r["min_lsn"],
+                    "max_lsn": r["max_lsn"],
+                    "min_ts": r["min_ts"],
+                    "max_ts": r["max_ts"],
+                    "status": "ok",
+                    "duration_ms": stats.duration_ms if i == 0 else 0,
+                }
+                for i, r in enumerate(per_bucket)
+            ]
+            self.lineage.append(
+                self.spark.createDataFrame(rows, LINEAGE_SCHEMA),
+                summary={"batch_id": batch_id},
+            )
+        return stats
+
+    def _summary(
+        self, prev_snap: Any, hi: int, batch_id: int, per_partition: dict[str, int]
+    ) -> dict[str, Any]:
+        prev = prev_snap.summary.get("offsets", {})
+        merged_pp = dict(prev.get("per_partition", {}))
+        merged_pp.update(per_partition)
+        return {
+            "batch_id": batch_id,
+            "offsets": {"last_lsn": hi, "per_partition": merged_pp},
+        }
+
+    def _write_quarantine(self, quarantined: DataFrame, batch_id: int) -> None:
+        """Rejected events land in the quarantine table (reference: failing
+        files copied to wip/errors for redownload, ``faimms.py:15-18``) —
+        re-processable, never silently dropped."""
+        if self.quarantine is None:
+            return
+        q = quarantined.withColumn("batch_id", F.lit(batch_id).cast("long"))
+        self.quarantine.append(q, summary={"batch_id": batch_id})
+
+    # ---------------------------------------------------------------- replay
+    def replay(
+        self,
+        changes: DataFrame,
+        chunk_size: int,
+        source_hi: int | None = None,
+    ) -> list[ChunkStats]:
+        """Replay everything past the checkpoint, chunk by chunk. Safe to
+        kill between chunks and re-invoke: resumes from the committed offset
+        with no duplicates or gaps."""
+        if source_hi is None:
+            source_hi = changes.agg(F.max("lsn")).collect()[0][0]
+        committed = self.committed_lsn()
+        plan = plan_replay(source_hi, committed, chunk_size)
+        out: list[ChunkStats] = []
+        next_batch = self.target.snapshot().summary.get("batch_id", -1) + 1
+        for i, (lo, hi) in enumerate(plan.ranges):
+            chunk = changes.where((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+            out.append(self.apply_chunk(chunk, lo, hi, batch_id=next_batch + i))
+        return out

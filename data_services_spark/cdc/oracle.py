@@ -1,0 +1,94 @@
+"""Independent oracle for the CDC engine, in DuckDB SQL.
+
+Computes the expected final table state by applying the change stream in
+``(ts, lsn)`` LWW order with the same validation gates, entirely outside
+Spark — the engine and the oracle share no code. Comparison is per-turn
+md5(text) plus full-row equality, the reference's golden-md5 idiom
+(``FAIMMS/REALTIME/faimms.py:286-294``, ``aims_realtime_util.py:366-375``).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from .schemas import MAX_TEXT_CHARS
+
+# mirrors validate.validation_reason — independently written SQL
+_VALID_PRED = f"""
+    lsn IS NOT NULL
+    AND op IN ('I','U','D')
+    AND ts IS NOT NULL
+    AND conv_id IS NOT NULL
+    AND turn_idx IS NOT NULL
+    AND turn_idx >= 0
+    AND (op = 'D' OR coalesce(role,'') IN ('user','assistant','system','tool'))
+    AND coalesce(length(text), 0) <= {MAX_TEXT_CHARS}
+"""
+
+
+def expected_final_state(
+    changes_parquet: str,
+    hi_lsn: int | None = None,
+    extra_cols: list[str] | None = None,
+) -> pd.DataFrame:
+    """LWW-apply the (validated) change stream up to ``hi_lsn``; return the
+    expected final transcripts table as pandas, sorted by key."""
+    import os
+
+    if os.path.isdir(changes_parquet):  # Spark writes parquet as a directory
+        changes_parquet = os.path.join(changes_parquet, "*.parquet")
+    extra = "".join(f", {c}" for c in (extra_cols or []))
+    hi = "" if hi_lsn is None else f"AND lsn <= {hi_lsn}"
+    sql = f"""
+    WITH ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx
+            ORDER BY ts DESC, lsn DESC
+        ) AS rn
+        FROM read_parquet('{changes_parquet}', union_by_name=true)
+        WHERE {_VALID_PRED} {hi}
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts, lsn{extra}
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    ORDER BY conv_id, turn_idx
+    """
+    return duckdb.sql(sql).df()
+
+
+def table_state_matches(actual: pd.DataFrame, expected: pd.DataFrame) -> tuple[bool, str]:
+    """Bit-for-bit comparison under the per-turn text-equality invariant."""
+    a = actual.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    e = expected.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    if len(a) != len(e):
+        return False, f"row count mismatch: actual={len(a)} expected={len(e)}"
+    cols = [c for c in e.columns if c in a.columns]
+    a = a[cols]
+    e = e[cols]
+    for c in cols:
+        av, ev = a[c], e[c]
+        if c == "ts":
+            av = pd.to_datetime(av).dt.tz_localize(None)
+            ev = pd.to_datetime(ev).dt.tz_localize(None)
+        neq = ~((av == ev) | (av.isna() & ev.isna()))
+        if neq.any():
+            i = int(neq.idxmax())
+            return False, (
+                f"column {c} differs at row {i}: "
+                f"actual={av.iloc[i]!r} expected={ev.iloc[i]!r} "
+                f"(key={a['conv_id'].iloc[i]},{a['turn_idx'].iloc[i]})"
+            )
+    return True, f"match: {len(a)} rows"
+
+
+def per_turn_text_md5(df: pd.DataFrame) -> pd.Series:
+    """md5 of each turn's text keyed by (conv_id, turn_idx)."""
+    import hashlib
+
+    keyed = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    return keyed.apply(
+        lambda r: hashlib.md5(
+            f"{r.conv_id}|{r.turn_idx}|{r.text}".encode()
+        ).hexdigest(),
+        axis=1,
+    )

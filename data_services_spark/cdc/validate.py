@@ -1,0 +1,59 @@
+"""Validation gates with a quarantine branch.
+
+Re-expression of the reference's per-file validation ladder
+(``FAIMMS/REALTIME/faimms.py:149-217``: no-data / empty-time / all-fill /
+unknown-site / non-monotonic / checker / filename-regex, each failure
+quarantining the unit to ``wip/errors`` for redownload, ``faimms.py:199-207``)
+as a single declarative pass: every gate is a boolean column expression, the
+first failing gate names the ``reason``, failing rows split into a
+quarantine DataFrame instead of poisoning the batch. One scan, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .schemas import MAX_TEXT_CHARS, OPS, ROLES
+
+
+def validation_reason(df: DataFrame) -> F.Column:
+    """NULL when the event is valid, else the first failing gate's name."""
+    gates = [
+        ("null_lsn", F.col("lsn").isNull()),
+        ("bad_op", ~F.col("op").isin(OPS)),
+        ("null_ts", F.col("ts").isNull()),
+        ("null_conv_id", F.col("conv_id").isNull()),
+        ("null_turn_idx", F.col("turn_idx").isNull()),
+        ("negative_turn_idx", F.col("turn_idx") < 0),
+        # deletes legitimately carry no payload; payload gates apply to I/U
+        ("bad_role", (F.col("op") != "D") & ~F.coalesce(F.col("role"), F.lit("")).isin(ROLES)),
+        ("oversize_text", F.coalesce(F.length("text"), F.lit(0)) > MAX_TEXT_CHARS),
+    ]
+    expr = F.lit(None).cast("string")
+    for name, cond in reversed(gates):
+        expr = F.when(cond, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Return (valid, quarantine); quarantine = input columns + ``reason``."""
+    tagged = df.withColumn("reason", validation_reason(df))
+    valid = tagged.where(F.col("reason").isNull()).drop("reason")
+    quarantined = tagged.where(F.col("reason").isNotNull())
+    return valid, quarantined
+
+
+def monotonicity_violations(transcripts: DataFrame) -> DataFrame:
+    """Constraint check (not a row filter): within each conversation, ts must
+    be non-decreasing in turn order — the reference's strict-TIME invariant
+    (``lib/python/aims_realtime_util.py:611-622``). Returns the violating
+    adjacent pairs for reporting."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        transcripts.withColumn("_prev_ts", F.lag("ts").over(w))
+        .where(F.col("_prev_ts").isNotNull() & (F.col("ts") < F.col("_prev_ts")))
+        .select("conv_id", "turn_idx", "ts", F.col("_prev_ts").alias("prev_ts"))
+    )

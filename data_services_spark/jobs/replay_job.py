@@ -1,0 +1,119 @@
+"""CLI entrypoint: replay a change stream into the transcripts lake table.
+
+Run via spark-submit (cluster) or plain python (local):
+
+    spark-submit --py-files dist/data_services_spark.zip \
+        data_services_spark/jobs/replay_job.py \
+        --root /path/to/lake --changes /path/to/changes.parquet \
+        --chunk-size 1000000
+
+    # or synthesize the stream instead of reading one:
+    python -m data_services_spark.jobs.replay_job \
+        --root /tmp/lake --generate-events 100000 --chunk-size 50000
+
+Prints one JSON line per chunk plus a final JSON summary (events/sec,
+offsets, snapshot id) — the machine-readable lineage a scheduler would
+scrape, replacing the reference's per-pipeline log files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--root", required=True, help="lake root directory")
+    ap.add_argument("--changes", help="parquet path of the change stream")
+    ap.add_argument("--generate-events", type=int, default=0,
+                    help="synthesize this many change events instead of --changes")
+    ap.add_argument("--n-convs", type=int, default=10000)
+    ap.add_argument("--hot-pct", type=int, default=20)
+    ap.add_argument("--chunk-size", type=int, default=1_000_000)
+    ap.add_argument("--bucket-count", type=int, default=16)
+    ap.add_argument("--dedup-method", default="max_by",
+                    choices=["max_by", "salted", "window"])
+    ap.add_argument("--cpus", type=int, default=None, help="local[N] (local mode only)")
+    ap.add_argument("--no-lineage", action="store_true")
+    ap.add_argument("--verify-oracle", action="store_true",
+                    help="after replay, compare final state vs DuckDB oracle (needs --changes)")
+    args = ap.parse_args(argv)
+
+    # absolute imports: spark-submit executes this file as a top-level script
+    from data_services_spark.cdc.apply import CdcApplier
+    from data_services_spark.cdc.generator import generate_changes
+    from data_services_spark.lake.table import LakeTable
+    from data_services_spark.session import get_spark
+
+    spark = get_spark("replay_job", cpus=args.cpus)
+
+    if args.changes:
+        changes = spark.read.parquet(args.changes)
+    elif args.generate_events:
+        changes = generate_changes(
+            spark, args.generate_events, n_convs=args.n_convs, hot_pct=args.hot_pct
+        )
+    else:
+        ap.error("need --changes or --generate-events")
+
+    if LakeTable.exists(f"{args.root}/transcripts"):
+        applier = CdcApplier.load(
+            spark, args.root,
+            dedup_method=args.dedup_method, with_lineage=not args.no_lineage,
+        )
+    else:
+        applier = CdcApplier.bootstrap(
+            spark, args.root, bucket_count=args.bucket_count,
+            dedup_method=args.dedup_method, with_lineage=not args.no_lineage,
+        )
+
+    t0 = time.monotonic()
+    stats = applier.replay(changes, chunk_size=args.chunk_size)
+    wall = time.monotonic() - t0
+
+    total = 0
+    for s in stats:
+        total += s.n_events
+        print(json.dumps({
+            "batch_id": s.batch_id, "lo": s.lo, "hi": s.hi,
+            "n_events": s.n_events, "n_upserts": s.n_upserts,
+            "n_deletes": s.n_deletes, "n_quarantined": s.n_quarantined,
+            "skipped": s.skipped, "snapshot_id": s.snapshot_id,
+            "duration_ms": s.duration_ms,
+            "affected_buckets": len(s.affected_buckets),
+        }))
+
+    summary = {
+        "chunks": len(stats),
+        "events_applied": total,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(total / wall, 1) if wall > 0 else None,
+        "committed_lsn": applier.committed_lsn(),
+        "snapshot_id": applier.target.current_snapshot_id(),
+        "table_rows": applier.target.read().count(),
+    }
+
+    if args.verify_oracle:
+        if not args.changes:
+            print(json.dumps({"error": "--verify-oracle needs --changes"}))
+            return 2
+        from data_services_spark.cdc.oracle import expected_final_state, table_state_matches
+
+        ok, msg = table_state_matches(
+            applier.target.read().toPandas(),
+            expected_final_state(args.changes),
+        )
+        summary["oracle_match"] = ok
+        summary["oracle_msg"] = msg
+        print(json.dumps(summary))
+        return 0 if ok else 1
+
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

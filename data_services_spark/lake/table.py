@@ -1,0 +1,415 @@
+"""Snapshot-committed parquet table format ("mini-Iceberg").
+
+The execution sandbox ships no Iceberg/Delta jars, so the engine implements
+the table-format contract it needs itself, over plain parquet + atomic
+filesystem renames. The contract (modeled on Apache Iceberg's public spec):
+
+* **Atomic snapshot commits** — every write produces an immutable snapshot
+  manifest (JSON) listing the table's data files per hash-bucket; a CURRENT
+  pointer is flipped by an atomic ``os.replace``. Readers never see partial
+  writes. Reference precedent for the commit idiom: the reference stages
+  output then atomically ``mv``s a manifest of <=4096 paths into the
+  incoming dir (``FAIMMS/REALTIME/faimms.py:356-369``).
+* **Snapshot summary carries source offsets** — the CDC apply loop stores
+  its checkpoint (last applied LSN per source partition) in the summary of
+  the same commit that wrote the data, which is the exactly-once rule
+  (reference analogue: checkpoint saved only after the move succeeds,
+  ``faimms.py:218-225``; watermark derived from committed sink state,
+  ``ardc_nrt/lib/common/pickle_db.py:64-85``).
+* **Time travel** — ``read(snapshot_id=...)`` (S3-object-version analogue:
+  ``lib/common/s3.sh:55-80``).
+* **Additive schema evolution** — new columns appear in newer data files;
+  reads use parquet ``mergeSchema`` so old files surface NULLs (reference
+  analogue: dual versioned layouts, ``MHL/process_MHLwave_from_txt.py:44-78``).
+* **Hash-bucket layout** — data files are grouped by
+  ``pmod(xxhash64(bucket_keys...), bucket_count)``, the engine's analogue of
+  Iceberg's ``bucket(N, conv_id)`` partition spec. A merge only rewrites the
+  buckets its change batch touches; untouched buckets are carried forward by
+  reference (metadata only) — this is what makes copy-on-write upserts scale:
+  at 100 TB with 4096 buckets, a batch touching 200 buckets rewrites ~5% of
+  the table and zero-copies the rest.
+
+Layout on disk::
+
+    <root>/_lake/v<000000N>.json   immutable snapshot manifests
+    <root>/_lake/CURRENT           text file: latest snapshot id (atomic replace)
+    <root>/data/c<N>-<token>/bucket=<K>/part-*.parquet
+
+Everything here is ordinary driver-side metadata handling (tiny JSON) plus
+declarative DataFrame writes — no RDDs, no per-row Python.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_LAKE_DIR = "_lake"
+_CURRENT = "CURRENT"
+_DATA_DIR = "data"
+
+
+class TableNotFound(Exception):
+    pass
+
+
+class CommitConflict(Exception):
+    """Another writer committed the same snapshot id first (optimistic
+    concurrency, like Iceberg's commit conflict). Retry by re-reading
+    CURRENT and re-planning."""
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    operation: str
+    schema_json: dict[str, Any]
+    bucket_count: int
+    bucket_keys: list[str]
+    bucket_files: dict[str, list[str]]  # bucket -> table-relative file paths
+    summary: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "operation": self.operation,
+            "schema": self.schema_json,
+            "bucket_count": self.bucket_count,
+            "bucket_keys": self.bucket_keys,
+            "bucket_files": self.bucket_files,
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "Snapshot":
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            parent_id=d.get("parent_id"),
+            operation=d["operation"],
+            schema_json=d["schema"],
+            bucket_count=d["bucket_count"],
+            bucket_keys=d["bucket_keys"],
+            bucket_files=d["bucket_files"],
+            summary=d.get("summary", {}),
+        )
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.schema_json)
+
+    def all_files(self) -> list[str]:
+        return [f for files in self.bucket_files.values() for f in files]
+
+
+def _bucket_expr(bucket_keys: list[str], bucket_count: int) -> F.Column:
+    """Stable hash bucket id for a row — Iceberg ``bucket(N, keys)`` analogue.
+
+    xxhash64 is a fixed, documented Spark function (seed 42), so bucket
+    assignment is stable across sessions/clusters.
+    """
+    return F.pmod(F.xxhash64(*[F.col(k) for k in bucket_keys]), F.lit(bucket_count)).cast("int")
+
+
+class LakeTable:
+    """A snapshot-versioned, hash-bucketed parquet table."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._lake = os.path.join(self.path, _LAKE_DIR)
+        if not os.path.exists(os.path.join(self._lake, _CURRENT)):
+            raise TableNotFound(self.path)
+
+    # ---------------------------------------------------------------- create
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        bucket_keys: list[str],
+        bucket_count: int = 16,
+        summary: dict[str, Any] | None = None,
+    ) -> "LakeTable":
+        path = os.path.abspath(path)
+        lake = os.path.join(path, _LAKE_DIR)
+        os.makedirs(lake, exist_ok=True)
+        if os.path.exists(os.path.join(lake, _CURRENT)):
+            raise FileExistsError(f"table already exists at {path}")
+        snap = Snapshot(
+            snapshot_id=0,
+            parent_id=None,
+            operation="create",
+            schema_json=schema.jsonValue(),
+            bucket_count=bucket_count,
+            bucket_keys=list(bucket_keys),
+            bucket_files={},
+            summary=summary or {},
+        )
+        cls._write_snapshot(lake, snap)
+        cls._flip_current(lake, snap.snapshot_id)
+        return cls(spark, path)
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(os.path.abspath(path), _LAKE_DIR, _CURRENT))
+
+    # -------------------------------------------------------------- metadata
+    @staticmethod
+    def _snap_name(snapshot_id: int) -> str:
+        return f"v{snapshot_id:08d}.json"
+
+    @classmethod
+    def _write_snapshot(cls, lake_dir: str, snap: Snapshot) -> None:
+        target = os.path.join(lake_dir, cls._snap_name(snap.snapshot_id))
+        try:
+            # O_EXCL: two writers racing for the same snapshot id -> one loses.
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError as e:
+            raise CommitConflict(f"snapshot {snap.snapshot_id} already committed") from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(snap.to_json(), f)
+            f.flush()
+            os.fsync(f.fileno())
+
+    @staticmethod
+    def _flip_current(lake_dir: str, snapshot_id: int) -> None:
+        tmp = os.path.join(lake_dir, f".current.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(snapshot_id))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(lake_dir, _CURRENT))  # atomic on POSIX
+
+    def current_snapshot_id(self) -> int:
+        with open(os.path.join(self._lake, _CURRENT)) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, snapshot_id: int | None = None) -> Snapshot:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        with open(os.path.join(self._lake, self._snap_name(sid))) as f:
+            return Snapshot.from_json(json.load(f))
+
+    def snapshots(self) -> list[Snapshot]:
+        out = []
+        for name in sorted(os.listdir(self._lake)):
+            if name.startswith("v") and name.endswith(".json"):
+                with open(os.path.join(self._lake, name)) as f:
+                    out.append(Snapshot.from_json(json.load(f)))
+        return out
+
+    @property
+    def bucket_keys(self) -> list[str]:
+        return self.snapshot().bucket_keys
+
+    @property
+    def bucket_count(self) -> int:
+        return self.snapshot().bucket_count
+
+    def bucket_col(self) -> F.Column:
+        s = self.snapshot()
+        return _bucket_expr(s.bucket_keys, s.bucket_count)
+
+    # ------------------------------------------------------------------ read
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Read the table at a snapshot ("VERSION AS OF"), optionally pruned
+        to a bucket subset (partition pruning — only those buckets' files are
+        listed in the scan, everything else is never opened)."""
+        snap = self.snapshot(snapshot_id)
+        if buckets is None:
+            files = snap.all_files()
+        else:
+            files = [f for b in buckets for f in snap.bucket_files.get(str(b), [])]
+        if not files:
+            return self.spark.createDataFrame([], snap.schema)
+        abs_files = [os.path.join(self.path, f) for f in files]
+        df = self.spark.read.option("mergeSchema", "true").parquet(*abs_files)
+        # Additive evolution: files older than the current schema lack new
+        # columns entirely when *no* newer file is in the scanned subset;
+        # surface them as NULLs so every read sees the table schema.
+        for fld in snap.schema.fields:
+            if fld.name not in df.columns:
+                df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+        return df.select([fld.name for fld in snap.schema.fields])
+
+    # ----------------------------------------------------------------- write
+    def _write_data_files(
+        self, df: DataFrame, commit_token: str, sort_cols: list[str] | None
+    ) -> dict[str, list[str]]:
+        """Write ``df`` (must contain a ``bucket`` int column) under a fresh
+        commit dir, hive-partitioned by bucket; return bucket -> relative
+        file paths."""
+        commit_rel = os.path.join(_DATA_DIR, commit_token)
+        commit_abs = os.path.join(self.path, commit_rel)
+        writer = df
+        if sort_cols:
+            writer = writer.sortWithinPartitions("bucket", *sort_cols)
+        writer.write.mode("error").partitionBy("bucket").parquet(commit_abs)
+        out: dict[str, list[str]] = {}
+        if os.path.exists(commit_abs):
+            for entry in os.listdir(commit_abs):
+                if entry.startswith("bucket="):
+                    b = entry.split("=", 1)[1]
+                    bdir = os.path.join(commit_abs, entry)
+                    out[b] = sorted(
+                        os.path.join(commit_rel, entry, f)
+                        for f in os.listdir(bdir)
+                        if f.endswith(".parquet")
+                    )
+        return out
+
+    def _commit(
+        self,
+        operation: str,
+        new_bucket_files: dict[str, list[str]],
+        carried_buckets: dict[str, list[str]],
+        schema: T.StructType,
+        summary: dict[str, Any],
+        expected_parent: int | None = None,
+    ) -> Snapshot:
+        parent = self.current_snapshot_id()
+        if expected_parent is not None and parent != expected_parent:
+            raise CommitConflict(f"expected parent {expected_parent}, found {parent}")
+        merged: dict[str, list[str]] = dict(carried_buckets)
+        merged.update(new_bucket_files)
+        merged = {b: fs for b, fs in merged.items() if fs}
+        prev = self.snapshot(parent)
+        snap = Snapshot(
+            snapshot_id=parent + 1,
+            parent_id=parent,
+            operation=operation,
+            schema_json=schema.jsonValue(),
+            bucket_count=prev.bucket_count,
+            bucket_keys=prev.bucket_keys,
+            bucket_files=merged,
+            summary=summary,
+        )
+        self._write_snapshot(self._lake, snap)
+        self._flip_current(self._lake, snap.snapshot_id)
+        return snap
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        snap = self.snapshot()
+        return df.withColumn("bucket", _bucket_expr(snap.bucket_keys, snap.bucket_count))
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        summary: dict[str, Any] | None = None,
+        sort_cols: list[str] | None = None,
+    ) -> Snapshot:
+        """Full-table rewrite (bootstrap / compaction target)."""
+        token = f"c{self.current_snapshot_id() + 1}-{uuid.uuid4().hex[:12]}"
+        files = self._write_data_files(self._with_bucket(df), token, sort_cols)
+        return self._commit("overwrite", files, {}, df.schema, summary or {})
+
+    def append(
+        self,
+        df: DataFrame,
+        summary: dict[str, Any] | None = None,
+        sort_cols: list[str] | None = None,
+    ) -> Snapshot:
+        """Append-only commit (new files added, nothing rewritten)."""
+        snap = self.snapshot()
+        token = f"c{snap.snapshot_id + 1}-{uuid.uuid4().hex[:12]}"
+        new_files = self._write_data_files(self._with_bucket(df), token, sort_cols)
+        appended = {
+            b: snap.bucket_files.get(b, []) + fs for b, fs in new_files.items()
+        }
+        schema = self._evolve_schema(snap.schema, df.schema)
+        return self._commit(
+            "append", appended, snap.bucket_files, schema, summary or {}, snap.snapshot_id
+        )
+
+    @staticmethod
+    def _evolve_schema(old: T.StructType, new: T.StructType) -> T.StructType:
+        """Additive evolution: old columns keep position/type, genuinely new
+        columns are appended. Type changes are rejected (only additive
+        evolution is supported, like the reference's versioned layouts)."""
+        fields = list(old.fields)
+        have = {f.name for f in fields}
+        for f in new.fields:
+            if f.name not in have:
+                fields.append(f)
+            else:
+                old_f = next(x for x in fields if x.name == f.name)
+                if old_f.dataType != f.dataType:
+                    raise ValueError(
+                        f"non-additive schema change on {f.name}: "
+                        f"{old_f.dataType} -> {f.dataType}"
+                    )
+        return T.StructType(fields)
+
+    def replace_buckets(
+        self,
+        df: DataFrame,
+        affected_buckets: list[int],
+        summary: dict[str, Any] | None = None,
+        sort_cols: list[str] | None = None,
+        expected_parent: int | None = None,
+        new_schema: T.StructType | None = None,
+    ) -> Snapshot:
+        """Copy-on-write replacement of a bucket subset: ``df`` holds the new
+        full content of ``affected_buckets``; every other bucket is carried
+        forward by reference (no data movement). This is the physical half of
+        MERGE INTO."""
+        snap = self.snapshot()
+        token = f"c{snap.snapshot_id + 1}-{uuid.uuid4().hex[:12]}"
+        new_files = self._write_data_files(self._with_bucket(df), token, sort_cols)
+        # an affected bucket whose merged content is empty must drop its files
+        for b in affected_buckets:
+            new_files.setdefault(str(b), [])
+        carried = {
+            b: fs for b, fs in snap.bucket_files.items() if int(b) not in set(affected_buckets)
+        }
+        schema = new_schema or self._evolve_schema(snap.schema, df.schema)
+        return self._commit(
+            "merge", new_files, carried, schema, summary or {},
+            expected_parent if expected_parent is not None else snap.snapshot_id,
+        )
+
+    # ------------------------------------------------------------- housekeeping
+    def expire_snapshots(self, keep_last: int = 5) -> list[int]:
+        """Drop snapshot manifests older than the last ``keep_last`` and
+        physically delete data files no retained snapshot references
+        (reference analogue: 15-day tmp-manifest TTL,
+        ``aims_realtime_util.py:1056-1086``)."""
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return []
+        retained = snaps[-keep_last:]
+        expired = snaps[:-keep_last]
+        live = {f for s in retained for f in s.all_files()}
+        removed_ids = []
+        for s in expired:
+            for f in s.all_files():
+                if f not in live:
+                    p = os.path.join(self.path, f)
+                    if os.path.exists(p):
+                        os.remove(p)
+            os.remove(os.path.join(self._lake, self._snap_name(s.snapshot_id)))
+            removed_ids.append(s.snapshot_id)
+        # clean now-empty commit dirs
+        data_root = os.path.join(self.path, _DATA_DIR)
+        if os.path.isdir(data_root):
+            for cdir in os.listdir(data_root):
+                cpath = os.path.join(data_root, cdir)
+                if os.path.isdir(cpath) and not any(
+                    fs for _, _, fs in os.walk(cpath)
+                ):
+                    shutil.rmtree(cpath)
+        return removed_ids

@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test/bench harness; the configs are chosen so the same
+code runs unchanged on a multi-executor cluster via ``spark-submit
+--py-files`` (AQE on, explicit shuffle partitioning, Arrow enabled,
+UTC session timezone so results compare bit-for-bit against a DuckDB
+oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "data_services_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``cpus`` controls local parallelism (``local[cpus]``); on a real
+    cluster the master/executors come from spark-submit and this arg is
+    ignored by Spark. ``shuffle_partitions`` defaults to 2x cores locally
+    — at cluster scale set it to ~2-3x total executor cores, or rely on
+    AQE coalescing which is enabled here.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle = shuffle_partitions or max(8, cpus * 2)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    # Only pin the master when not already submitted to a cluster.
+    if "SPARK_SUBMIT_MASTER" not in os.environ and not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,21 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_services_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", cpus=4, shuffle_partitions=8, driver_memory="4g")
+    yield s
+
+
+@pytest.fixture()
+def tmp_table_dir(tmp_path):
+    return str(tmp_path / "lake")

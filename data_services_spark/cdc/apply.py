@@ -183,17 +183,22 @@ class CdcApplier:
         stats.n_upserts = sum(r["n_upserts"] for r in per_bucket)
         stats.n_deletes = sum(r["n_deletes"] for r in per_bucket)
 
-        # --- the merge plan (single pass: union -> LWW aggregate -> write)
-        deduped = lww_dedup(
-            valid,
+        # --- the merge plan: union RAW valid events with the affected target
+        # rows and run ONE LWW aggregation over both. The chunk needs no
+        # separate pre-dedup — max_by over the union subsumes it, and the
+        # partial-aggregation (map-side combine) step collapses duplicate
+        # deliveries and multi-updates *before* the shuffle. Two exchanges
+        # total per chunk: hash(conv_id, turn_idx) for the aggregate, then
+        # hash(bucket) to cluster the write.
+        current = self.target.read(buckets=affected).withColumn("op", F.lit("K"))
+        united = current.unionByName(valid, allowMissingColumns=True)
+        winners = lww_dedup(
+            united,
             keys=KEY_COLS,
             order=ORDER_COLS,
             method=self.dedup_method,
             salt_buckets=self.salt_buckets,
         )
-        current = self.target.read(buckets=affected).withColumn("op", F.lit("K"))
-        united = current.unionByName(deduped, allowMissingColumns=True)
-        winners = lww_dedup(united, keys=KEY_COLS, order=ORDER_COLS, method="max_by")
         merged = winners.where(F.col("op") != "D").drop("op")
 
         # column order: existing schema first, additive columns appended

@@ -1,0 +1,103 @@
+"""Bench worker: one measurement in one fresh JVM.
+
+Modes:
+  --mode generate : synthesize the change stream to --changes parquet (not timed)
+  --mode cdc      : bootstrap a lake under --workdir and replay --changes,
+                    print JSON {events, wall_sec, events_per_sec}
+  --mode queries  : run registry queries at --sf-dir, print JSON {name: sec}
+
+Run as a subprocess per parallelism level so each measurement gets a cold
+JVM with exactly local[N] threads (the sandbox proxy for an N-executor
+cluster; BASELINE.md scaling protocol).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", required=True, choices=["generate", "cdc", "queries"])
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--events", type=int, default=2_000_000)
+    ap.add_argument("--chunks", type=int, default=2)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--changes", help="change-stream parquet path")
+    ap.add_argument("--workdir", help="scratch dir for the lake")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--queries", default="", help="comma-sep names; empty = all")
+    args = ap.parse_args(argv)
+
+    from data_services_spark.session import get_spark
+
+    spark = get_spark(
+        f"bench_{args.mode}", cpus=args.cpus,
+        shuffle_partitions=max(16, args.cpus * 2),
+        driver_memory="48g",
+    )
+
+    if args.mode == "generate":
+        from data_services_spark.cdc.generator import generate_changes
+
+        df = generate_changes(
+            spark, args.events, n_convs=max(1000, args.events // 100),
+            max_turns=50, n_hot=4, hot_pct=20,
+            partitions=max(32, args.cpus * 4),
+        )
+        df.write.mode("overwrite").parquet(args.changes)
+        print(json.dumps({"generated": args.events, "path": args.changes}))
+        return 0
+
+    if args.mode == "cdc":
+        from data_services_spark.cdc.apply import CdcApplier
+
+        shutil.rmtree(args.workdir, ignore_errors=True)
+
+        # warmup: replay a tiny stream into a throwaway lake so JIT/codegen
+        # and the parquet reader are warm before the timed run
+        from data_services_spark.cdc.generator import generate_changes
+
+        warm = CdcApplier.bootstrap(spark, args.workdir + "_warm", bucket_count=4)
+        warm.replay(generate_changes(spark, 5000, n_convs=100), chunk_size=5000)
+        shutil.rmtree(args.workdir + "_warm", ignore_errors=True)
+
+        applier = CdcApplier.bootstrap(spark, args.workdir, bucket_count=args.buckets)
+        changes = spark.read.parquet(args.changes)
+        chunk_size = max(1, (args.events + args.chunks - 1) // args.chunks)
+        t0 = time.monotonic()
+        stats = applier.replay(changes, chunk_size=chunk_size, source_hi=args.events - 1)
+        wall = time.monotonic() - t0
+        total = sum(s.n_events for s in stats)
+        print(json.dumps({
+            "cpus": args.cpus,
+            "events": total,
+            "wall_sec": round(wall, 3),
+            "events_per_sec": round(total / wall, 1),
+            "chunks": len(stats),
+            "table_rows": applier.target.read().count(),
+        }))
+        shutil.rmtree(args.workdir, ignore_errors=True)
+        return 0
+
+    # queries mode
+    from data_services_spark.queries import REGISTRY
+
+    names = [n for n in args.queries.split(",") if n] or list(REGISTRY)
+    timings = {}
+    for name in names:
+        t0 = time.monotonic()
+        df = REGISTRY[name].fn(spark, args.sf_dir)
+        # noop sink executes the full plan without driver collection
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+    print(json.dumps(timings))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

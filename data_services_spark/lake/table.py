@@ -237,25 +237,40 @@ class LakeTable:
         if not files:
             return self.spark.createDataFrame([], snap.schema)
         abs_files = [os.path.join(self.path, f) for f in files]
-        df = self.spark.read.option("mergeSchema", "true").parquet(*abs_files)
-        # Additive evolution: files older than the current schema lack new
-        # columns entirely when *no* newer file is in the scanned subset;
-        # surface them as NULLs so every read sees the table schema.
-        for fld in snap.schema.fields:
-            if fld.name not in df.columns:
-                df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+        # Read with the snapshot's schema instead of mergeSchema: the
+        # manifest is the source of truth, so no per-file footer merging on
+        # the driver (which serializes and costs seconds per read at scale).
+        # The vectorized parquet reader fills columns absent from older
+        # files with NULLs — exactly additive-evolution semantics.
+        df = self.spark.read.schema(snap.schema).parquet(*abs_files)
         return df.select([fld.name for fld in snap.schema.fields])
 
     # ----------------------------------------------------------------- write
     def _write_data_files(
-        self, df: DataFrame, commit_token: str, sort_cols: list[str] | None
+        self,
+        df: DataFrame,
+        commit_token: str,
+        sort_cols: list[str] | None,
+        files_per_bucket: int = 1,
     ) -> dict[str, list[str]]:
         """Write ``df`` (must contain a ``bucket`` int column) under a fresh
         commit dir, hive-partitioned by bucket; return bucket -> relative
-        file paths."""
+        file paths.
+
+        Rows are clustered so each task holds whole buckets — without this,
+        every shuffle partition writes a sliver of every bucket and a commit
+        explodes into shuffle_partitions x bucket_count tiny files (fatal at
+        scale: file-count growth + tiny-file reads). ``files_per_bucket > 1``
+        splits giant buckets across that many tasks."""
         commit_rel = os.path.join(_DATA_DIR, commit_token)
         commit_abs = os.path.join(self.path, commit_rel)
-        writer = df
+        snap_buckets = self.bucket_count
+        if files_per_bucket > 1:
+            split = F.pmod(F.xxhash64(*[F.col(c) for c in (sort_cols or ["bucket"])]),
+                           F.lit(files_per_bucket))
+            writer = df.repartition(snap_buckets * files_per_bucket, F.col("bucket"), split)
+        else:
+            writer = df.repartition(snap_buckets, F.col("bucket"))
         if sort_cols:
             writer = writer.sortWithinPartitions("bucket", *sort_cols)
         writer.write.mode("error").partitionBy("bucket").parquet(commit_abs)

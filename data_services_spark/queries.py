@@ -1,0 +1,698 @@
+"""Query registry: every operator class from SURVEY.md §2 as a named query.
+
+Each entry pairs a Spark-first implementation (``fn(spark, sf_dir) ->
+DataFrame``) with an independently written ANSI/DuckDB oracle (``sql``)
+over the same parquet tables. The driver runs both at sf=0.01 and compares
+row count + schema + order-insensitive value hash, so every computed column
+is aliased identically on both sides and floating aggregates are rounded.
+
+Reference citations (file:line into /root/reference) sit on each entry —
+the query reproduces that operator's *semantics*, not its implementation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None => non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, sql: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn=fn, sql=sql, doc=doc)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Flagship: CDC last-writer-wins apply (the engine's core operator) expressed
+# over the driver's `events` table as a derived change stream.
+# Reference: LWW dedup ardc_nrt/lib/bom/wfs.py:100-112; idempotent overwrite
+# aims_realtime_util.py:1049-1053.
+# --------------------------------------------------------------------------
+
+@register(
+    "cdc_lww_apply",
+    sql="""
+    WITH changes AS (
+        SELECT event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ts,
+               printf('u%04d', user_id) AS conv_id,
+               CAST(event_id % 37 AS INTEGER) AS turn_idx,
+               CASE event_type
+                    WHEN 'signup' THEN 'system'
+                    WHEN 'purchase' THEN 'assistant'
+                    ELSE 'user' END AS role,
+               props AS text
+        FROM events
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text, ts, lsn
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="LWW change-stream apply: final state per (conv_id, turn_idx).",
+)
+def cdc_lww_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .cdc.dedup import lww_dedup
+
+    ev = load(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "ts",
+        F.format_string("u%04d", "user_id").alias("conv_id"),
+        F.pmod("event_id", F.lit(37)).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "signup", "system")
+        .when(F.col("event_type") == "purchase", "assistant")
+        .otherwise("user")
+        .alias("role"),
+        F.col("props").alias("text"),
+    )
+    final = lww_dedup(changes, keys=["conv_id", "turn_idx"], order=["ts", "lsn"])
+    return final.where(F.col("op") != "D").select(
+        "conv_id", "turn_idx", "role", "text", "ts", "lsn"
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Multi-agg GROUP BY (TPC-H Q1 shape; SQL-view agg mirror "
+        "report_db.anmn_deployments_view.sql:6-33).",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    sql="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="3-way join + agg + deterministic top-k (sort/limit, SURVEY §2.6).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_revenue_by_nation",
+    sql="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc="Multi-join star query; small dims broadcast (vocab-join mirror "
+        "lib/python/ship_callsign.py:52-60).",
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dims = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "conditional_agg_orders",
+    sql="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           round(sum(CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0 END), 2) AS big_total,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Conditional aggregation + min/max extents "
+        "(report_db.anmn_deployments_view.sql:6-33: sum((file_version='0')::int)).",
+)
+def conditional_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.round(F.sum(F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice")).otherwise(0.0)), 2).alias("big_total"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@register(
+    "reagg_percent_segment",
+    sql="""
+    WITH per_cust AS (
+        SELECT c_custkey, c_mktsegment,
+               count(o_orderkey) AS n_orders,
+               coalesce(max(o_totalprice), 0) AS max_price
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_mktsegment
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(avg(n_orders), 4) AS avg_orders,
+           round(100.0 * sum(CASE WHEN max_price > 100000 THEN 1 ELSE 0 END) / count(*), 2) AS pct_big
+    FROM per_cust GROUP BY c_mktsegment
+    """,
+    doc="CTE re-aggregation with derived percent "
+        "(report_db.anmn_datastreams_view.sql:6-33).",
+)
+def reagg_percent_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.max("o_totalprice"), F.lit(0.0)).alias("max_price"),
+        )
+    )
+    return per_cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("n_orders"), 4).alias("avg_orders"),
+        F.round(
+            100.0 * F.sum(F.when(F.col("max_price") > 100000, 1).otherwise(0)) / F.count("*"), 2
+        ).alias("pct_big"),
+    )
+
+
+@register(
+    "having_active_users",
+    sql="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id HAVING count(*) > 80
+    """,
+    doc="HAVING filter (reports/anmn_platforms_with_no_new_data.sql:3-8).",
+)
+def having_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .where(F.col("n_events") > 80)
+    )
+
+
+@register(
+    "union_bool_or_flags",
+    sql="""
+    WITH u AS (
+        SELECT user_id, value, 'click' AS src FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, value, 'purchase' AS src FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           bool_or(value > 15) AS any_big,
+           sum(CASE WHEN src = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           count(*) AS n_total
+    FROM u GROUP BY user_id
+    """,
+    doc="UNION ALL + bool_or flags (anmn.nrs_zoo_view.sql:3-28; "
+        "reports/anmn_deployments_with_new_data.sql:1-8).",
+)
+def union_bool_or_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "value", F.lit("click").alias("src"))
+    purch = ev.where(F.col("event_type") == "purchase").select("user_id", "value", F.lit("purchase").alias("src"))
+    return (
+        clicks.unionByName(purch)
+        .groupBy("user_id")
+        .agg(
+            F.bool_or(F.col("value") > 15).alias("any_big"),
+            F.sum(F.when(F.col("src") == "purchase", 1).otherwise(0)).alias("n_purchase"),
+            F.count("*").alias("n_total"),
+        )
+    )
+
+
+@register(
+    "chunked_batching",
+    sql="""
+    WITH numbered AS (
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        FROM lineitem
+    )
+    SELECT CAST(floor((rn - 1) / 4096) AS BIGINT) AS chunk_id,
+           count(*) AS n_rows,
+           min(l_orderkey) AS min_key,
+           max(l_orderkey) AS max_key,
+           round(sum(l_extendedprice), 2) AS chunk_value
+    FROM numbered GROUP BY 1
+    """,
+    doc="Fixed-size manifest chunking <=4096 rows per commit batch "
+        "(faimms.py:356-366; anmn_nrs_aims.py:491-497). Note: the global "
+        "row_number is correctness-tier; the engine's production path chunks "
+        "by LSN ranges (cdc/planner.py) which needs no global sort.",
+)
+def chunked_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("chunk_id", F.floor((F.col("rn") - 1) / 4096).cast("long"))
+        .groupBy("chunk_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+            F.round(F.sum("l_extendedprice"), 2).alias("chunk_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows (SURVEY §2.5)
+# --------------------------------------------------------------------------
+
+@register(
+    "window_lww_latest_event",
+    sql="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="row_number window dedup — the literal north-star LWW window "
+        "(bom/wfs.py:100-112).",
+)
+def window_lww_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+@register(
+    "forward_fill_events",
+    sql="""
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+    FROM events
+    """,
+    doc="Forward fill via last(ignorenulls) over unbounded-preceding frame "
+        "(auv_processing.py:452-459: missing track info <- previous row).",
+)
+def forward_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+    ).over(w)
+    return ev.select("event_id", "user_id", "ts", filled.alias("last_purchase_value"))
+
+
+@register(
+    "lag_runlength_mask",
+    sql="""
+    SELECT event_id, user_id, event_type
+    FROM (
+        SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ) WHERE event_type = prev_type
+    """,
+    doc="Lag-based run-length mask: rows repeating the previous row's value "
+        "(qld_data_parser.py:197-208).",
+)
+def lag_runlength_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("event_type") == F.col("prev_type"))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# --------------------------------------------------------------------------
+
+@register(
+    "anti_join_inactive_customers",
+    sql="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders
+        WHERE o_custkey IS NOT NULL
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    """,
+    doc="Anti-join reconciliation: customers with no recent orders — present "
+        "on one side, missing in the DB (ACORN/hfradar.sh:149-174).",
+)
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    sql="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+    doc="Semi-join reconciliation (ACORN/hfradar.sh:176-183).",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@register(
+    "asof_join_purchase_click",
+    sql="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         pairs AS (
+            SELECT p.event_id AS purchase_id, p.ts AS purchase_ts,
+                   c.ts AS click_ts, c.event_id AS click_id, c.value AS click_value
+            FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+         ),
+         best_ts AS (
+            SELECT purchase_id, max(click_ts) AS click_ts FROM pairs GROUP BY 1
+         ),
+         best AS (
+            SELECT pr.purchase_id, pr.click_ts, max(pr.click_id) AS click_id
+            FROM best_ts b JOIN pairs pr
+              ON pr.purchase_id = b.purchase_id AND pr.click_ts = b.click_ts
+            GROUP BY 1, 2
+         )
+    SELECT b.purchase_id, b.click_ts, b.click_id,
+           round(max(pr.click_value), 2) AS click_value
+    FROM best b JOIN pairs pr
+      ON pr.purchase_id = b.purchase_id AND pr.click_id = b.click_id
+    GROUP BY 1, 2, 3
+    """,
+    doc="As-of join (nearest click at-or-before each purchase). Spark side "
+        "is the scale-correct union+sort+forward-fill formulation — one "
+        "shuffle, no inequality join (auv_processing.py:468-497); the oracle "
+        "deliberately uses the O(n^2) inequality-join formulation for "
+        "independence.",
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type").isin("click", "purchase")).withColumn(
+        "tag", F.when(F.col("event_type") == "click", 0).otherwise(1)
+    )
+    # clicks sort before purchases at equal ts => "at or before" semantics;
+    # among equal-ts clicks the largest event_id wins (matches oracle tiebreak)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_struct = F.last(
+        F.when(F.col("tag") == 0, F.struct("ts", "event_id", "value")), ignorenulls=True
+    ).over(w)
+    return (
+        tagged.withColumn("_c", click_struct)
+        .where((F.col("tag") == 1) & F.col("_c").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("_c.ts").alias("click_ts"),
+            F.col("_c.event_id").alias("click_id"),
+            F.round(F.col("_c.value"), 2).alias("click_value"),
+        )
+    )
+
+
+@register(
+    "interval_containment_join",
+    sql="""
+    SELECT a.o_orderkey AS first_order, b.o_orderkey AS followup_order
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND b.o_orderdate > a.o_orderdate
+     AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+    """,
+    doc="Interval-containment join: follow-up orders within a 30-day window "
+        "of an earlier order, equi-join on key + range predicate "
+        "(wave_parser.py:288-312: file extent within deployment interval).",
+)
+def interval_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    a = o.alias("a")
+    b = o.alias("b")
+    return a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("b.o_orderdate") > F.col("a.o_orderdate"))
+        & (F.col("b.o_orderdate") <= F.col("a.o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+    ).select(
+        F.col("a.o_orderkey").alias("first_order"),
+        F.col("b.o_orderkey").alias("followup_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Projections / filters / set ops / scalars (SURVEY §2.2, §2.7, §2.8)
+# --------------------------------------------------------------------------
+
+@register(
+    "predicate_pushdown_projection",
+    sql="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 250000
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    doc="Conjunctive predicate + narrow projection, pushed to the parquet "
+        "scan (geoserver_catalog.py:54-106 filter->project url).",
+)
+def predicate_pushdown_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.where(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_totalprice") > 250000)
+        & (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "distinct_projection",
+    sql="SELECT DISTINCT p_brand, p_type FROM part",
+    doc="DISTINCT projection (report_db.anmn_files_view.sql:6; hfradar.sh:275-284).",
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "part").select("p_brand", "p_type").distinct()
+
+
+@register(
+    "regex_extract_projection",
+    sql="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+           CASE WHEN p_type LIKE '%BRUSHED%' THEN 'brushed' ELSE 'other' END AS finish
+    FROM part
+    """,
+    doc="Regex extraction projection (anmn_files_view.sql:7-17 substring-from-regex).",
+)
+def regex_extract_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_head"),
+        F.when(F.col("p_type").like("%BRUSHED%"), "brushed").otherwise("other").alias("finish"),
+    )
+
+
+@register(
+    "set_except_intersect",
+    sql="""
+    SELECT user_id, 'click_only' AS bucket FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION ALL
+    SELECT user_id, 'both' AS bucket FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+    doc="EXCEPT / INTERSECT reconciliation (hfradar.sh:166-183; "
+        "xbt_dm_imos_conversion.py:308 set &).",
+)
+def set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where("event_type = 'click'").select("user_id")
+    purch = ev.where("event_type = 'purchase'").select("user_id")
+    # SQL EXCEPT is set-semantics: dedup first, then anti-join
+    # (exceptAll would keep multiplicity differences — wrong semantics here)
+    only = (
+        clicks.distinct()
+        .join(purch.distinct(), "user_id", "left_anti")
+        .withColumn("bucket", F.lit("click_only"))
+    )
+    both = clicks.intersect(purch).withColumn("bucket", F.lit("both"))
+    return only.unionByName(both)
+
+
+@register(
+    "scalar_datetime_kitchen",
+    sql="""
+    SELECT o_orderkey,
+           date_trunc('month', o_orderdate) AS order_month,
+           CAST(date_part('year', o_orderdate) AS BIGINT) AS order_year,
+           greatest(o_orderdate, TIMESTAMP '1996-06-01 00:00:00') AS clamped,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_epoch95,
+           concat('P-', CAST(o_orderkey % 100 AS VARCHAR)) AS tag
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+    doc="Scalar date/time + string kitchen: date_trunc/date_part/greatest/"
+        "datediff/concat (anmn_files_view.sql:24-39; aims monthly ranges "
+        "aims_realtime_util.py:330-350).",
+)
+def scalar_datetime_kitchen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.greatest("o_orderdate", F.lit("1996-06-01 00:00:00").cast("timestamp")).alias("clamped"),
+        F.datediff("o_orderdate", F.lit("1995-01-01 00:00:00").cast("timestamp")).cast("long").alias("days_since_epoch95"),
+        F.concat(F.lit("P-"), (F.col("o_orderkey") % 100).cast("string")).alias("tag"),
+    )
+
+
+@register(
+    "monotonicity_violations_value",
+    sql="""
+    SELECT user_id, count(*) AS n_drops
+    FROM (
+        SELECT user_id, value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        FROM events WHERE event_type = 'view'
+    ) WHERE value < prev_value
+    GROUP BY user_id
+    """,
+    doc="Monotonicity audit per key (strictly_increasing / is_time_monotonic, "
+        "aims_realtime_util.py:611-622) — count of decreasing steps.",
+)
+def monotonicity_violations_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where("event_type = 'view'")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .where(F.col("value") < F.col("prev_value"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_drops"))
+    )

@@ -41,7 +41,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        # snappy: ~2x faster writes than zstd locally (CPU-bound); flip to
+        # zstd via env for storage-bound clusters where IO dominates
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SPARK_GRAFT_CODEC", "snappy"))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

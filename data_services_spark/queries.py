@@ -696,3 +696,220 @@ def monotonicity_violations_value(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("user_id")
         .agg(F.count("*").alias("n_drops"))
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data operators (dedup / similarity / text analysis / multimodal)
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_documents",
+    sql="""
+    SELECT md5(text) AS text_md5,
+           min(doc_id) AS representative_id,
+           count(*) AS n_dupes
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup by content hash (md5 idiom, faimms.py:114-120).",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_dedup import exact_dedup
+
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    sql="""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.w, b.w))), 6) AS jaccard
+        FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.4
+    """,
+    doc="n-gram (word-set) Jaccard near-dup pairs within a blocking key.",
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.4)
+
+
+@register(
+    "minhash_lsh_candidates",
+    sql=None,  # signature hashes aren't SQL-portable; verified in pytest
+    doc="MinHash+LSH near-dup candidates (banding), exact-Jaccard verified. "
+        "Rows-only driver check; pytest asserts recall vs brute-force pairs.",
+)
+def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(load(spark, sf_dir, "documents"), jaccard_threshold=0.5)
+
+
+@register(
+    "simhash_buckets",
+    sql=None,  # pandas-UDF bit arithmetic; pytest covers determinism
+    doc="SimHash (vectorized Arrow pandas UDF) + prefix-bit bucketing.",
+)
+def simhash_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_dedup import simhash_buckets
+
+    return simhash_buckets(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "cosine_topk_embeddings",
+    sql="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), n AS (
+        SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+    ), pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS sim
+        FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="Brute-force cosine top-k ANN baseline (zip_with dot products, "
+        "precomputed norms).",
+)
+def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk
+
+    return cosine_topk(load(spark, sf_dir, "embeddings"), k=3)
+
+
+@register(
+    "ann_lsh_topk",
+    sql=None,  # approximate by construction; pytest measures recall
+    doc="LSH (random hyperplane) bucketed ANN — the scale path; recall vs "
+        "brute force asserted in pytest.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_ann_topk
+
+    return lsh_ann_topk(load(spark, sf_dir, "embeddings"), k=3, n_planes=6, dim=64)
+
+
+@register(
+    "lang_id_documents",
+    sql="""
+    SELECT doc_id,
+      CASE
+        WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+        WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+        WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+        WHEN h_fr >= h_de THEN 'fr'
+        ELSE 'de'
+      END AS lang_pred,
+      h_en AS hits_en, h_es AS hits_es, h_fr AS hits_fr, h_de AS hits_de
+    FROM (
+      SELECT doc_id, text,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a)\\b', 1)) AS h_en,
+        len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los)\\b', 1)) AS h_es,
+        len(regexp_extract_all(lower(text), '\\b(le|la|les|et|des)\\b', 1)) AS h_fr,
+        len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b', 1)) AS h_de
+      FROM documents
+    )
+    """,
+    doc="Heuristic language ID via marker-word counts (stopword n-gram "
+        "heuristic; deterministic tie priority).",
+)
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import lang_id
+
+    return lang_id(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_count_documents",
+    sql="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+           len(regexp_extract_all(text, '([A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS n_subwords
+    FROM documents
+    """,
+    doc="Whitespace token count + BPE-ish subword estimate (regex pieces).",
+)
+def token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import token_count
+
+    return token_count(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_score_documents",
+    sql="""
+    SELECT doc_id,
+           n_chars_computed, n_words, punct_ratio, stopword_ratio, avg_word_len,
+           CAST(floor((least(n_words / 64.0, 1.0) * 0.5
+                 + least(stopword_ratio * 4, 1.0) * 0.3
+                 + (1.0 - least(punct_ratio * 10, 1.0)) * 0.2) * 1000000)
+                AS BIGINT) AS quality_score_x1e6
+    FROM (
+      SELECT doc_id,
+             length(text) AS n_chars_computed,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+             round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                   / greatest(length(text), 1), 6) AS punct_ratio,
+             round(len(regexp_extract_all(lower(text),
+                       '\\b(the|a|and|of|to|in|is|it|for|on)\\b', 1))
+                   / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1), 6)
+               AS stopword_ratio,
+             round((length(text) - (len(list_filter(string_split(text, ' '), x -> x <> '')) - 1))
+                   / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1), 6)
+               AS avg_word_len
+      FROM documents
+    )
+    """,
+    doc="Quality scoring: length/punct/stopword ratios -> composite score.",
+)
+def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import quality_score
+
+    return quality_score(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "fingerprint_documents",
+    sql="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5,
+           CAST(floor(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) / 64)
+                AS BIGINT) AS len_bucket
+    FROM documents
+    """,
+    doc="Document fingerprint: md5 of normalized text + length bucket "
+        "(md5-golden idiom, faimms.py:286-294).",
+)
+def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import fingerprint
+
+    return fingerprint(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_features",
+    sql=None,  # mapInPandas plumbing; pytest covers shapes & determinism
+    doc="Multimodal plumbing: binary payload column -> mapInPandas feature "
+        "extraction (decode stubbed: container has no codecs; batch shape, "
+        "schema and partitioning are real).",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(load(spark, sf_dir, "documents"))
+    return extract_features(media)

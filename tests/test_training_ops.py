@@ -1,0 +1,145 @@
+"""Tests for non-SQL-expressible training-data operators: MinHash/LSH
+recall, SimHash determinism, LSH-ANN recall vs brute force, multimodal
+plumbing shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_services_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    extract_features,
+    synthesize_media,
+)
+from data_services_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from data_services_spark.operators.text_dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_buckets,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs across the wide "
+    "green field chasing a small red ball thrown by the young child near "
+    "the old stone wall beside the quiet river bank under the warm sun"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """20 docs: 0/1 near-identical, 2/3 near-identical, rest distinct."""
+    rows = [
+        (0, BASE, "s0"),
+        (1, BASE.replace("red ball", "blue ball"), "s0"),  # near-dup of 0
+        (2, BASE.replace("the", "a"), "s0"),
+        (3, BASE.replace("the", "a").replace("fox", "cat"), "s0"),  # near-dup of 2
+    ]
+    for i in range(4, 20):
+        rows.append((i, " ".join(f"word{i}x{j}" for j in range(40)), "s0"))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs, jaccard_threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs
+    assert (2, 3) in pairs
+    # distinct docs never pair
+    assert all(a < 4 and b < 4 for a, b in pairs), pairs
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """Every brute-force shingle-Jaccard>=0.6 pair must be found by LSH at
+    these params (64 hashes / 16 bands -> s-curve threshold ~0.5). Same
+    similarity (3-word shingles) on both sides."""
+    from pyspark.sql import functions as F
+
+    from data_services_spark.operators.text_dedup import word_shingles
+
+    t = docs.select(
+        F.col("doc_id").alias("_id"), word_shingles(F.col("text")).alias("_sh")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    jac = F.size(F.array_intersect("a._sh", "b._sh")) / F.size(
+        F.array_union("a._sh", "b._sh")
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            jac.alias("j"),
+        )
+        .where("j >= 0.6")
+        .collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs, jaccard_threshold=0.6).collect()
+    }
+    assert exact, "fixture should contain high-similarity pairs"
+    missed = exact - lsh
+    assert not missed, f"LSH missed high-sim pairs: {missed}"
+    assert lsh <= exact, f"LSH produced pairs below verify threshold: {lsh - exact}"
+
+
+def test_simhash_deterministic_and_near(spark, docs):
+    a = {r["doc_id"]: r["simhash"] for r in simhash_buckets(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash_buckets(docs).collect()}
+    assert a == b  # deterministic across runs
+    # near-dups have small hamming distance; distinct docs large
+    def ham(x, y):
+        return bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(a[0], a[1]) <= 8
+    assert ham(a[0], a[10]) > 12
+
+
+def test_lsh_ann_recall(spark):
+    """LSH-ANN top-3 recalls >=60% of brute-force top-3 on clustered data."""
+    import math
+
+    rows = []
+    for i in range(60):
+        c = i % 3
+        vec = [
+            math.sin(c * 17 + j) + 0.01 * math.sin(i * 7 + j * 3) for j in range(16)
+        ]
+        rows.append((i, [float(x) for x in vec]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(df, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_ann_topk(df, k=3, n_planes=4, dim=16).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall too low: {recall}"
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = synthesize_media(docs)
+    feats = extract_features(media)
+    assert feats.schema == FEATURE_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r["decoder"] == "fake/byte-histogram"
+        assert r["n_bytes"] == 128  # 4 x sha256-hex -> 128 bytes
+        assert len(r["feature"]) == 8
+        assert abs(sum(x * x for x in r["feature"]) - 1.0) < 1e-5  # unit norm
+    # deterministic payloads: same ids -> same features on re-run
+    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    first = {r["media_id"]: r["feature"] for r in rows}
+    assert again == first
+
+
+def test_kinds_covered(spark, docs):
+    kinds = {r["kind"] for r in synthesize_media(docs).select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}

@@ -124,14 +124,31 @@ class CdcApplier:
         return None if off is None else off.get("last_lsn")
 
     # ----------------------------------------------------------------- apply
-    def apply_chunk(self, chunk: DataFrame, lo: int, hi: int, batch_id: int) -> ChunkStats:
+    def apply_chunk(
+        self,
+        chunk: DataFrame,
+        lo: int,
+        hi: int | None,
+        batch_id: int,
+        epoch: int | None = None,
+    ) -> ChunkStats:
+        """Apply one chunk. Batch replay passes an LSN range (lo, hi];
+        streaming passes ``epoch`` (micro-batch id) instead and ``hi=None``
+        (derived from the batch's own max LSN). Skip rules give exactly-once:
+        LSN-ranged chunks skip when hi <= committed LSN; epochs skip when
+        epoch <= committed epoch (foreachBatch redelivery)."""
         t0 = time.monotonic()
-        stats = ChunkStats(batch_id=batch_id, lo=lo, hi=hi)
+        stats = ChunkStats(batch_id=batch_id, lo=lo, hi=hi if hi is not None else -1)
 
-        committed = self.committed_lsn()
-        if committed is not None and hi <= committed:
-            stats.skipped = True  # duplicate chunk replay -> no-op
-            return stats
+        if epoch is not None:
+            if epoch <= self.target.snapshot().summary.get("epoch", -1):
+                stats.skipped = True  # redelivered micro-batch -> no-op
+                return stats
+        else:
+            committed = self.committed_lsn()
+            if committed is not None and hi is not None and hi <= committed:
+                stats.skipped = True  # duplicate chunk replay -> no-op
+                return stats
 
         snap = self.target.snapshot()
         bucket_col = self.target.bucket_col()
@@ -171,7 +188,7 @@ class CdcApplier:
             self.target.replace_buckets(
                 self.target.read(buckets=[]),
                 [],
-                summary=self._summary(snap, hi, batch_id, {}),
+                summary=self._summary(snap, hi, batch_id, {}, epoch),
                 expected_parent=snap.snapshot_id,
             )
             stats.duration_ms = int((time.monotonic() - t0) * 1000)
@@ -206,11 +223,14 @@ class CdcApplier:
         new_cols = [c for c in merged.columns if c not in existing]
         merged = merged.select(*existing, *new_cols)
 
+        if hi is None:  # streaming: offsets derived from the batch itself
+            hi = max(int(r["max_lsn"]) for r in per_bucket)
+            stats.hi = hi
         per_part = {str(b): int(r["max_lsn"]) for b, r in zip(affected, per_bucket)}
         new_snap = self.target.replace_buckets(
             merged,
             affected,
-            summary=self._summary(snap, hi, batch_id, per_part),
+            summary=self._summary(snap, hi, batch_id, per_part, epoch),
             sort_cols=KEY_COLS,
             expected_parent=snap.snapshot_id,
         )
@@ -245,15 +265,29 @@ class CdcApplier:
         return stats
 
     def _summary(
-        self, prev_snap: Any, hi: int, batch_id: int, per_partition: dict[str, int]
+        self,
+        prev_snap: Any,
+        hi: int | None,
+        batch_id: int,
+        per_partition: dict[str, int],
+        epoch: int | None = None,
     ) -> dict[str, Any]:
         prev = prev_snap.summary.get("offsets", {})
         merged_pp = dict(prev.get("per_partition", {}))
         merged_pp.update(per_partition)
-        return {
+        prev_hi = prev.get("last_lsn", -1)
+        out: dict[str, Any] = {
             "batch_id": batch_id,
-            "offsets": {"last_lsn": hi, "per_partition": merged_pp},
+            "offsets": {
+                "last_lsn": prev_hi if hi is None else max(prev_hi, hi),
+                "per_partition": merged_pp,
+            },
         }
+        if epoch is not None:
+            out["epoch"] = epoch
+        elif "epoch" in prev_snap.summary:  # don't lose stream progress
+            out["epoch"] = prev_snap.summary["epoch"]
+        return out
 
     def _write_quarantine(self, quarantined: DataFrame, batch_id: int) -> None:
         """Rejected events land in the quarantine table (reference: failing

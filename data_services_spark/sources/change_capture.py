@@ -1,0 +1,103 @@
+"""Change-capture sources: turning external state into a change-event
+DataFrame.
+
+Two capture styles from the reference, re-expressed as DataFrame diffs:
+
+* **Listing diff** (rsync itemized output, ``ARGO/rsync.sh:14-43``; lftp
+  --only-newer, ``lib/python/lftp_sync.py:83-96``): compare the current
+  snapshot of a catalog (file listing / table extract) against the
+  previously captured snapshot -> emit I/U/D change events. This is
+  snapshot-diff CDC — the fallback when no real binlog exists.
+* **Log tail** (JSONL/CSV event logs): parse an append-only log into typed
+  change events with assigned LSNs.
+
+Both produce the engine's canonical ``changes`` shape and feed CdcApplier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..cdc.schemas import CHANGES_SCHEMA
+
+
+def snapshot_diff(
+    previous: DataFrame,
+    current: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    lsn_start: int = 0,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Diff two snapshots of a keyed table into I/U/D change events.
+
+    * in current, not previous -> I
+    * in both, any compared column differs -> U
+    * in previous, not current -> D
+
+    One full-outer join on the keys; change detection is a column-wise
+    null-safe comparison (the engine-side analogue of rsync's itemized
+    flags). LSNs are assigned deterministically by key order starting at
+    ``lsn_start`` (driver assigns dense ranks — at scale swap in a
+    zipWithIndex-free ordering by (ts, key) if a total order matters).
+    """
+    compare_cols = compare_cols or [
+        c for c in current.columns if c not in keys and c != ts_col
+    ]
+    p = previous.alias("p")
+    c = current.alias("c")
+    cond = [F.col(f"p.{k}").eqNullSafe(F.col(f"c.{k}")) for k in keys]
+    joined = p.join(c, cond, "full_outer")
+
+    in_prev = F.col(f"p.{keys[0]}").isNotNull()
+    in_cur = F.col(f"c.{keys[0]}").isNotNull()
+    changed = F.lit(False)
+    for col in compare_cols:
+        changed = changed | ~F.col(f"p.{col}").eqNullSafe(F.col(f"c.{col}"))
+
+    op = (
+        F.when(in_cur & ~in_prev, "I")
+        .when(in_prev & ~in_cur, "D")
+        .when(changed, "U")
+    )
+    out_cols = [
+        F.coalesce(F.col(f"c.{k}"), F.col(f"p.{k}")).alias(k) for k in keys
+    ] + [
+        F.col(f"c.{col}").alias(col) for col in compare_cols
+    ] + [
+        F.coalesce(F.col(f"c.{ts_col}"), F.col(f"p.{ts_col}")).alias(ts_col),
+        op.alias("op"),
+    ]
+    events = joined.select(*out_cols).where(F.col("op").isNotNull())
+    w_order = F.row_number().over(Window.orderBy(*[F.col(k) for k in keys]))
+    return events.withColumn("lsn", (w_order + F.lit(lsn_start - 1)).cast("long"))
+
+
+def read_jsonl_changes(spark: SparkSession, path: str) -> DataFrame:
+    """Parse an append-only JSONL change log into the canonical shape
+    (JSON flatten idiom: ``qld_data_parser.py:60`` json_normalize)."""
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.from_json(
+            "value",
+            CHANGES_SCHEMA,
+        ).alias("r")
+    ).select("r.*")
+    return parsed
+
+
+def filename_metadata(df: DataFrame, path_col: str = "path") -> DataFrame:
+    """Parse structured fields out of catalog paths — the IMOS filename
+    convention parser (``lib/python/IMOSfilename.py:137-245``) generalized:
+    regexp_extract projections over a path column."""
+    p = F.col(path_col)
+    return df.withColumns(
+        {
+            "facility": F.regexp_extract(p, r"^/?([A-Za-z0-9_-]+)/", 1),
+            "file_name": F.element_at(F.split(p, "/"), -1),
+            "extension": F.regexp_extract(p, r"\.([A-Za-z0-9]+)$", 1),
+            "date_token": F.regexp_extract(p, r"(\d{8}T\d{6}Z?|\d{4}-\d{2}-\d{2})", 1),
+        }
+    )

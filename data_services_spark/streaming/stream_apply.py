@@ -1,0 +1,120 @@
+"""Structured Streaming front-end for the CDC apply loop.
+
+The reference's cron-driven incremental polls (RSS head -> delta ranges ->
+fetch -> commit, ``faimms.py:232-252``) become a streaming query: a file
+source tails the change-event directory, each micro-batch goes through the
+SAME applier (validate -> LWW dedup -> bucket merge -> atomic snapshot) via
+``foreachBatch``, and exactly-once comes from the epoch id recorded in the
+snapshot summary — a redelivered micro-batch (after a streaming-checkpoint
+replay) is skipped, and partially-overlapping events lose LWW against the
+rows they already wrote.
+
+Also here: the watermark + tumbling-window throughput aggregation (the
+reference's monthly-pane batching, ``aims_realtime_util.py:300-350``) and a
+custom stateful operator via ``applyInPandasWithState`` (running per-
+conversation turn counter — the per-channel checkpoint dict of
+``save_channel_info``, kept as streaming state instead of pickles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..cdc.apply import CdcApplier
+from ..cdc.schemas import CHANGES_SCHEMA
+
+
+def stream_changes(spark: SparkSession, path: str, max_files_per_trigger: int = 8) -> DataFrame:
+    """Tail a directory of change-event parquet files as a stream."""
+    return (
+        spark.readStream.schema(CHANGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def start_apply_stream(
+    applier: CdcApplier,
+    changes_stream: DataFrame,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Run the CDC apply loop as a streaming query (foreachBatch sink)."""
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        applier.apply_chunk(batch_df, lo=-1, hi=None, batch_id=epoch_id, epoch=epoch_id)
+
+    writer = (
+        changes_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def windowed_event_rates(
+    changes_stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Tumbling-window event rates per op with late-data watermark —
+    streaming pane analogue of the reference's month-aligned batch windows
+    (late data re-opens the pane; the reference overwrites the month file)."""
+    return (
+        changes_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "op")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("conv_id").alias("n_convs"),
+        )
+    )
+
+
+TURN_STATE_SCHEMA = "n_turns long, max_turn_idx int, last_lsn long"
+TURN_OUTPUT_SCHEMA = (
+    "conv_id string, n_turns long, max_turn_idx int, last_lsn long, batch_events long"
+)
+
+
+def conversation_turn_tracker(changes_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-conversation running turn statistics via
+    applyInPandasWithState (arbitrary state, processing-time semantics)."""
+    import pandas as pd
+
+    def track(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        n_turns, max_turn, last_lsn = (
+            state.get if state.exists else (0, -1, -1)
+        )
+        batch_events = 0
+        for pdf in pdfs:
+            batch_events += len(pdf)
+            if len(pdf):
+                max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+                last_lsn = max(last_lsn, int(pdf["lsn"].max()))
+                n_turns += len(pdf)
+        state.update((n_turns, max_turn, last_lsn))
+        yield pd.DataFrame(
+            [
+                {
+                    "conv_id": conv_id,
+                    "n_turns": n_turns,
+                    "max_turn_idx": max_turn,
+                    "last_lsn": last_lsn,
+                    "batch_events": batch_events,
+                }
+            ]
+        )
+
+    return changes_stream.groupBy("conv_id").applyInPandasWithState(
+        track,
+        outputStructType=TURN_OUTPUT_SCHEMA,
+        stateStructType=TURN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

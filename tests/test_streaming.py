@@ -1,0 +1,126 @@
+"""Structured Streaming apply: exactly-once across micro-batches and query
+restarts, windowed rates, custom stateful turn tracker."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_services_spark.cdc.apply import CdcApplier
+from data_services_spark.cdc.generator import generate_changes
+from data_services_spark.cdc.oracle import expected_final_state, table_state_matches
+from data_services_spark.streaming.stream_apply import (
+    conversation_turn_tracker,
+    start_apply_stream,
+    stream_changes,
+    windowed_event_rates,
+)
+
+
+def _write_stream_files(spark, path: str, n_files: int = 4, events_per_file: int = 1500):
+    """Change stream as successive files (a tailed directory), lsn-ordered
+    across files like a real binlog segment directory."""
+    full = generate_changes(
+        spark, n_files * events_per_file, n_convs=120, max_turns=12, seed=33
+    )
+    for i in range(n_files):
+        lo, hi = i * events_per_file, (i + 1) * events_per_file
+        (full.where((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+             .coalesce(1).write.mode("append").parquet(path))
+    return full
+
+
+def test_stream_apply_matches_oracle(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    _write_stream_files(spark, src)
+    applier = CdcApplier.bootstrap(spark, str(tmp_path / "lake"), bucket_count=8)
+
+    q = start_apply_stream(
+        applier,
+        stream_changes(spark, src, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    ok, msg = table_state_matches(
+        applier.target.read().toPandas(), expected_final_state(src)
+    )
+    assert ok, msg
+    assert applier.target.snapshot().summary.get("epoch") is not None
+
+
+def test_stream_restart_no_duplicates(spark, tmp_path):
+    """Stop the query mid-stream, restart from the streaming checkpoint with
+    more data arriving: final state equals the full oracle (no dupes/gaps)."""
+    src = str(tmp_path / "stream_src")
+    full = _write_stream_files(spark, src, n_files=2)
+    root = str(tmp_path / "lake")
+    applier = CdcApplier.bootstrap(spark, root, bucket_count=8)
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_apply_stream(applier, stream_changes(spark, src, 1), ckpt)
+    q.processAllAvailable()
+    q.stop()
+    epoch_after_first = applier.target.snapshot().summary["epoch"]
+
+    # two more files land while the query is down
+    more = generate_changes(spark, 6000, n_convs=120, max_turns=12, seed=33)
+    for lo, hi in [(3000, 4500), (4500, 6000)]:
+        (more.where((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+             .coalesce(1).write.mode("append").parquet(src))
+
+    # new process: reload applier from disk, restart query from checkpoint
+    applier2 = CdcApplier.load(spark, root)
+    q2 = start_apply_stream(applier2, stream_changes(spark, src, 1), ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert applier2.target.snapshot().summary["epoch"] > epoch_after_first
+    ok, msg = table_state_matches(
+        applier2.target.read().toPandas(), expected_final_state(src)
+    )
+    assert ok, msg
+
+
+def test_windowed_event_rates(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    _write_stream_files(spark, src, n_files=2)
+    agg = windowed_event_rates(stream_changes(spark, src, 2), "5 minutes", "10 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("rates")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rates"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM rates").collect()
+    assert rows
+    assert {r["op"] for r in rows} <= {"I", "U", "D"}
+    total = spark.sql("SELECT sum(n_events) AS n FROM rates").collect()[0]["n"]
+    assert total >= 3000  # all events counted (update mode may re-emit panes)
+
+
+def test_conversation_turn_tracker(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    full = _write_stream_files(spark, src, n_files=2)
+    tracked = conversation_turn_tracker(stream_changes(spark, src, 1))
+    q = (
+        tracked.writeStream.format("memory").queryName("turns")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_turns"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last state per conv: n_turns equals that conv's event count
+    final = spark.sql(
+        """
+        SELECT conv_id, max_by(n_turns, last_lsn) AS n_turns
+        FROM turns GROUP BY conv_id
+        """
+    )
+    expected = full.groupBy("conv_id").count()
+    joined = final.join(expected, "conv_id")
+    mismatched = joined.where(F.col("n_turns") != F.col("count")).count()
+    assert mismatched == 0

@@ -54,18 +54,22 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def _min_hash_for_seed(sh: F.Column, seed: int) -> F.Column:
-    # NB: the transform lambda must take exactly ONE parameter — PySpark
-    # passes (element, index) to two-parameter callables, so the idiomatic
-    # `lambda s, i=i:` capture trick silently binds i to the ARRAY INDEX.
-    return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
-
-
 def minhash_signature(col, num_hashes: int = 64, shingle_n: int = 3) -> F.Column:
     """MinHash signature as array<long>: per seed i, min over shingles of
-    xxhash64(shingle, i). No UDF — array_min(transform(...)) per seed."""
+    xxhash64(xxhash64(shingle), i). No UDF — array_min(transform(...)).
+
+    NB: the transform lambda must take exactly ONE parameter — PySpark
+    passes (element, index) to two-parameter callables, so the idiomatic
+    `lambda s, i=i:` capture trick silently binds i to the ARRAY INDEX.
+    """
     sh = word_shingles(col, shingle_n)
-    return F.array(*[_min_hash_for_seed(sh, i) for i in range(num_hashes)])
+    hs = F.transform(sh, lambda s: F.xxhash64(s))  # hash each string ONCE
+    return F.array(
+        *[
+            F.array_min(F.transform(hs, lambda h: F.xxhash64(h, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
 
 
 def minhash_lsh_candidates(
@@ -77,38 +81,52 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash + LSH banding.
+    """Near-duplicate pairs via MinHash + LSH banding, built for scale:
 
-    signature -> split into ``bands`` bands -> hash each band -> docs
-    sharing any band-hash become candidates -> verified with exact shingle
-    Jaccard >= threshold. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    1. **Signatures via explode + 64 min-aggs** — shingles explode to rows,
+       each string is xxhash64'd ONCE, the 64 per-seed variants are cheap
+       long re-hashes, and ``groupBy(id).agg(min×64)`` is map-side
+       combinable: the shuffle carries 64 longs per doc, never the shingle
+       text.
+    2. **Band buckets hashed from the raw longs** (``xxhash64(m_i.., band)``)
+       — no string concat; the banded table is (id, band, bucket), 3 slim
+       columns × ``bands`` rows per doc.
+    3. **Self-join within (band, bucket)** on the slim table; candidate
+       generation never goes quadratic in the corpus, only within buckets.
+    4. **Verify by joining candidate ids back** to a (id, shingles) table —
+       the heavy shingle arrays are shipped only for actual candidates.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, exact Jaccard
+    >= threshold.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    shingles = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
         word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+    )
+    exploded = shingles.select("_id", F.explode("_sh").alias("_s")).select(
+        "_id", F.xxhash64("_s").alias("_h")
+    )
+    sig = exploded.groupBy("_id").agg(
+        *[F.min(F.xxhash64("_h", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
     )
     banded = sig.select(
         "_id",
-        "_sh",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(",", *[
-                                F.element_at("_sig", b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)
-                            ])
+                            *[f"m{b * rows_per_band + r}" for r in range(rows_per_band)],
+                            F.lit(b),
                         ).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "_sh", "bb.band", "bb.bucket")
+    ).select("_id", "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -118,17 +136,16 @@ def minhash_lsh_candidates(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("doc_a"),
-            F.col("b._id").alias("doc_b"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
-        )
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sh_a = shingles.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("sh_a"))
+    sh_b = shingles.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", F.round(jac.cast("double"), 6))
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", F.round(jac.cast("double"), 6))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -913,3 +913,364 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_media(load(spark, sf_dir, "documents"))
     return extract_features(media)
+
+# --------------------------------------------------------------------------
+# Coverage additions (SURVEY §2 rows previously without registry entries)
+# --------------------------------------------------------------------------
+
+@register(
+    "broadcast_vocab_join",
+    sql="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           count(*) AS n_customers,
+           round(avg(c.c_acctbal), 4) AS avg_acctbal
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="Broadcast vocabulary/dimension lookup join (ship_callsign.py:52-60, "
+        "platform_code_vocab.py:58-125): fact LEFT JOIN two tiny dims, both "
+        "broadcast — no shuffle of the dims.",
+)
+def broadcast_vocab_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey, "left")
+        .join(region, nation.n_regionkey == region.r_regionkey, "left")
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "sentinel_normalization",
+    sql="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(CASE WHEN value IS NULL OR value < 0 THEN 1 END) AS n_fill,
+           round(avg(CASE WHEN value IS NULL OR value < 0 THEN NULL
+                          ELSE value END), 4) AS avg_clean
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Sentinel/fill-value normalization (qld_data_parser.py:173-194, "
+        "process_MHLwave_from_txt.py:215): out-of-range sentinels -> NULL "
+        "via when/otherwise before aggregating.",
+)
+def sentinel_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clean = F.when(F.col("value").isNull() | (F.col("value") < 0), None).otherwise(
+        F.col("value")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("value").isNull() | (F.col("value") < 0), 1)).alias("n_fill"),
+        F.round(F.avg(clean), 4).alias("avg_clean"),
+    )
+
+
+@register(
+    "collect_list_catalog",
+    sql="""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids_csv
+    FROM documents
+    GROUP BY source, lang
+    """,
+    doc="Grouped catalog records (oceancurrent_file_server_api.py:743-815, "
+        "sortRecordings.py:36-49): groupBy + sorted collect_list rendered "
+        "to a deterministic csv string.",
+)
+def collect_list_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")),
+            ",",
+        ).alias("doc_ids_csv"),
+    )
+
+
+@register(
+    "avg_date_trunc_monthly",
+    sql="""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           count(*) AS n_orders,
+           round(avg(o_totalprice), 4) AS avg_price,
+           round(sum(o_totalprice), 2) AS month_revenue
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate)
+    """,
+    doc="AVG + date_trunc monthly rollup (anmn_all_deployments_with_data"
+        ".sql:1-9): the reference's mean-processing-time report shape.",
+)
+def avg_date_trunc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("order_month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("month_revenue"),
+    )
+
+
+@register(
+    "month_range_delta_plan",
+    sql="""
+    SELECT o_custkey,
+           unnest(generate_series(date_trunc('month', mn),
+                                  date_trunc('month', mx),
+                                  INTERVAL 1 MONTH)) AS batch_month
+    FROM (
+        SELECT o_custkey, min(o_orderdate) AS mn, max(o_orderdate) AS mx
+        FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
+    )
+    """,
+    doc="Month-aligned delta planning (create_list_of_dates_to_download, "
+        "aims_realtime_util.py:300-350): per key, explode the month range "
+        "[floor(month(first)), floor(month(last))] into batch panes via "
+        "sequence() — the reference's rrule.MONTHLY loop as one expression.",
+)
+def month_range_delta_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    spans = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("mn"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("mx"),
+    )
+    return spans.select(
+        "o_custkey",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 month"))).alias("batch_month"),
+    )
+
+
+@register(
+    "fuzzy_contains_join",
+    sql="""
+    SELECT t.tok AS token, count(*) AS n_parts,
+           round(avg(p.p_retailprice), 4) AS avg_price
+    FROM part p
+    JOIN (VALUES ('green'), ('blue'), ('red'), ('ivory'), ('sand')) AS t(tok)
+      ON p.p_name LIKE '%' || t.tok || '%'
+    GROUP BY t.tok
+    """,
+    doc="Fuzzy/substring theta-join (wa_awac_process.py:88-103: deployment "
+        "folder matched to metadata key by substring): broadcast the tiny "
+        "token side, join on contains().",
+)
+def fuzzy_contains_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    toks = F.broadcast(
+        spark.createDataFrame([("green",), ("blue",), ("red",), ("ivory",), ("sand",)], ["tok"])
+    )
+    return (
+        part.join(toks, F.col("p_name").contains(F.col("tok")))
+        .groupBy(F.col("tok").alias("token"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "first_occurrence_dedup",
+    sql="""
+    SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="First-occurrence dedup (np.unique return_index idiom, "
+        "srs_oc_bodbaw_netcdf_creation.py:473-488): row_number ASC = 1 — "
+        "the FWW mirror of the LWW window.",
+)
+def first_occurrence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+
+
+@register(
+    "snapshot_diff_changes",
+    sql="""
+    WITH prev AS (
+        SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY o_custkey
+    ), cur AS (
+        SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey
+    )
+    SELECT CASE WHEN p.o_custkey IS NULL THEN 'I'
+                WHEN c.o_custkey IS NULL THEN 'D'
+                WHEN p.n_orders IS DISTINCT FROM c.n_orders
+                  OR p.spend IS DISTINCT FROM c.spend THEN 'U'
+           END AS op,
+           count(*) AS n_changes
+    FROM prev p FULL OUTER JOIN cur c ON p.o_custkey = c.o_custkey
+    WHERE CASE WHEN p.o_custkey IS NULL THEN 'I'
+               WHEN c.o_custkey IS NULL THEN 'D'
+               WHEN p.n_orders IS DISTINCT FROM c.n_orders
+                 OR p.spend IS DISTINCT FROM c.spend THEN 'U'
+          END IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Snapshot-diff change capture (rsync -i itemized output, ARGO/"
+        "rsync.sh:14-43): two keyed snapshots full-outer-joined into I/U/D "
+        "change events — the engine's fallback CDC source, aggregated to "
+        "op counts.",
+)
+def snapshot_diff_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.change_capture import snapshot_diff
+
+    orders = load(spark, sf_dir, "orders")
+
+    def snap(cutoff: str) -> DataFrame:
+        return (
+            orders.where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+            .groupBy("o_custkey")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("spend"),
+                F.max("o_orderdate").alias("ts"),
+            )
+        )
+
+    events = snapshot_diff(
+        snap("1997-01-01"), snap("1998-01-01"), keys=["o_custkey"],
+        compare_cols=["n_orders", "spend"],
+    )
+    return events.groupBy("op").agg(F.count("*").alias("n_changes"))
+
+
+@register(
+    "union_distinct_sorted",
+    sql="""
+    SELECT DISTINCT n.n_name AS nation_name
+    FROM (
+        SELECT c_nationkey AS nk FROM customer
+        UNION
+        SELECT s_nationkey AS nk FROM supplier
+    ) u JOIN nation n ON u.nk = n.n_nationkey
+    """,
+    doc="sort|uniq over unioned key sets (hfradar.sh:38-61, rsync.sh:33): "
+        "UNION-dedup of two projections, dim join for names.",
+)
+def union_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        cust.union(supp)
+        .distinct()
+        .join(nation, F.col("nk") == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation_name"))
+        .distinct()
+    )
+
+
+@register(
+    "greatest_least_interval",
+    sql="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(avg(greatest(0, date_diff('day', CAST(o_orderdate AS DATE),
+                                           CAST(last_ship AS DATE)))), 4)
+             AS avg_fulfil_days,
+           max(greatest(0, date_diff('day', CAST(o_orderdate AS DATE),
+                                     CAST(last_ship AS DATE)))) AS max_fulfil_days
+    FROM (
+        SELECT o.o_orderkey, o.o_orderpriority, o.o_orderdate,
+               max(l.l_shipdate) AS last_ship
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="Interval arithmetic with greatest() floor (anmn_files_view.sql:"
+        "28-33: greatest(interval '0', end - start)): per-order fulfilment "
+        "days, clamped non-negative, aggregated per priority.",
+)
+def greatest_least_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    days = F.greatest(
+        F.lit(0), F.datediff(F.col("last_ship").cast("date"), F.col("o_orderdate").cast("date"))
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg(days), 4).alias("avg_fulfil_days"),
+        F.max(days).alias("max_fulfil_days"),
+    )
+
+
+@register(
+    "embedding_cosine_neardup",
+    sql="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), n AS (
+        SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45
+    """,
+    doc="Embedding-cosine near-duplicate pairs (dedup battery, scale path "
+        "is the LSH variant): all pairs with cosine >= 0.45, zip_with dot "
+        "product, precomputed norms.",
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.zip_with("e", "e", lambda a, b: a * b),
+                           F.lit(0.0), lambda acc, x: acc + x)),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    sim = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(sim >= 0.45)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("sim"),
+        )
+    )

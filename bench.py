@@ -35,7 +35,7 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
-REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "6"))
 LO_CORES = 2
 HI_CORES = 8
 
@@ -56,18 +56,16 @@ def _worker(args: list[str], pin_cores: int | None = None) -> dict:
 
 
 def _cdc_best(cores: int, changes: str, scratch: str) -> dict:
-    best = None
-    for r in range(REPEATS):
-        subprocess.run(["sync"], check=False)  # drain dirty pages from prior run
-        res = _worker(
-            ["--mode", "cdc", "--cpus", str(cores), "--events", str(EVENTS),
-             "--chunks", "2", "--changes", changes,
-             "--workdir", os.path.join(scratch, f"lake{cores}_{r}")],
-            pin_cores=cores,
-        )
-        if best is None or res["events_per_sec"] > best["events_per_sec"]:
-            best = res
-    return best
+    """One pinned JVM per core level; the worker repeats the replay in-JVM
+    until steady state (cold-JVM JIT on pinned cores costs up to ~10x on the
+    first reps) and reports the converged best."""
+    subprocess.run(["sync"], check=False)  # drain dirty pages from prior run
+    return _worker(
+        ["--mode", "cdc", "--cpus", str(cores), "--events", str(EVENTS),
+         "--chunks", "2", "--changes", changes, "--repeats", str(REPEATS),
+         "--workdir", os.path.join(scratch, f"lake{cores}")],
+        pin_cores=cores,
+    )
 
 
 def main() -> int:

@@ -29,10 +29,23 @@ is <= the committed LSN is skipped outright.
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 from dataclasses import dataclass, field
 from typing import Any
 
+_PHASE_TIMING = os.environ.get("DSS_PHASE_TIMING") == "1"
+
+
+def _phase(label: str, t0: float) -> float:
+    """Optional stderr phase-timing (DSS_PHASE_TIMING=1) for bench tuning."""
+    t1 = time.monotonic()
+    if _PHASE_TIMING:
+        print(f"[phase] {label}: {t1 - t0:.3f}s", file=sys.stderr)
+    return t1
+
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -68,7 +81,16 @@ class CdcApplier:
         dedup_method: str = "max_by",
         salt_buckets: int = 64,
         with_lineage: bool = True,
+        mode: str = "mor",
+        compact_threshold: int | None = 16,
     ):
+        """``mode='mor'`` (default) appends each chunk's deduped winners as a
+        merge-on-read delta layer — per chunk the table gains O(changed keys)
+        bytes, the at-scale write path (Iceberg v2 equality deletes; how
+        Flink's Iceberg upsert sink works). ``mode='cow'`` rewrites affected
+        buckets copy-on-write — read-optimised, O(bucket size) per chunk.
+        ``compact_threshold`` bounds MOR read amplification: replay compacts
+        any bucket whose delta layer count reaches it."""
         self.spark = spark
         self.target = target
         self.lineage = lineage
@@ -76,6 +98,9 @@ class CdcApplier:
         self.dedup_method = dedup_method
         self.salt_buckets = salt_buckets
         self.with_lineage = with_lineage
+        self.mode = mode
+        self.compact_threshold = compact_threshold
+        self._lineage_buf: list[dict] = []
 
     # ------------------------------------------------------------- bootstrap
     @classmethod
@@ -88,7 +113,8 @@ class CdcApplier:
     ) -> "CdcApplier":
         """Create the target/lineage/quarantine tables under ``root``."""
         target = LakeTable.create(
-            spark, f"{root}/transcripts", TRANSCRIPTS_SCHEMA, KEY_COLS, bucket_count
+            spark, f"{root}/transcripts", TRANSCRIPTS_SCHEMA, KEY_COLS, bucket_count,
+            props={"merge_keys": KEY_COLS, "order_cols": ORDER_COLS},
         )
         lineage = LakeTable.create(
             spark, f"{root}/lineage", LINEAGE_SCHEMA, ["source_partition"], 4
@@ -131,6 +157,7 @@ class CdcApplier:
         hi: int | None,
         batch_id: int,
         epoch: int | None = None,
+        defer_lineage: bool = False,
     ) -> ChunkStats:
         """Apply one chunk. Batch replay passes an LSN range (lo, hi];
         streaming passes ``epoch`` (micro-batch id) instead and ``hi=None``
@@ -152,45 +179,86 @@ class CdcApplier:
 
         snap = self.target.snapshot()
         bucket_col = self.target.bucket_col()
-
-        valid, quarantined = split_valid(chunk)
-
-        # ONE small aggregate pass gives per-bucket metrics, quarantine
-        # counts AND the affected-bucket list (collect is <= bucket_count + 1
-        # rows, never data-sized). Invalid rows group under their bucket too
-        # (hash of a NULL key is defined), so lineage attributes them.
         from .validate import validation_reason
 
         ok = validation_reason(chunk).isNull()
-        per_bucket = (
-            chunk.withColumn("_ok", ok)
-            .withColumn("_b", bucket_col)
-            .groupBy("_b")
-            .agg(
-                F.sum(F.col("_ok").cast("long")).alias("n_events"),
-                F.sum((F.col("_ok") & (F.col("op") != "D")).cast("long")).alias("n_upserts"),
-                F.sum((F.col("_ok") & (F.col("op") == "D")).cast("long")).alias("n_deletes"),
-                F.sum((~F.col("_ok")).cast("long")).alias("n_quarantined"),
-                F.min(F.when(F.col("_ok"), F.col("lsn"))).alias("min_lsn"),
-                F.max(F.when(F.col("_ok"), F.col("lsn"))).alias("max_lsn"),
-                F.min(F.when(F.col("_ok"), F.col("ts"))).alias("min_ts"),
-                F.max(F.when(F.col("_ok"), F.col("ts"))).alias("max_ts"),
+        # "fused" plan (default max_by dedup): ONE scan + ONE key-hash
+        # shuffle computes BOTH the LWW winners and the per-key event
+        # counts; per-bucket metrics are then a tiny rollup of the persisted
+        # per-key aggregate, and the merge/delta write below reuses it —
+        # the chunk's raw parquet is decoded exactly once. Invalid rows
+        # enter the aggregate with NULL ordering (max_by skips them) so one
+        # pass also yields quarantine counts. Non-fused dedup methods
+        # (salted / window) keep the two-pass layout.
+        fused = self.dedup_method == "max_by"
+        per_key = None
+        valid = None
+        if fused:
+            payload_cols = [c for c in chunk.columns if c not in KEY_COLS]
+            payload = F.struct(*[F.col(c) for c in payload_cols])
+            rank = F.struct(*[F.col(c) for c in ORDER_COLS])
+            per_key = (
+                chunk.groupBy(*KEY_COLS)
+                .agg(
+                    F.max_by(F.when(ok, payload), F.when(ok, rank)).alias("_w"),
+                    F.sum(ok.cast("long")).alias("_n_events"),
+                    F.sum((ok & (F.col("op") != "D")).cast("long")).alias("_n_upserts"),
+                    F.sum((ok & (F.col("op") == "D")).cast("long")).alias("_n_deletes"),
+                    F.sum((~ok).cast("long")).alias("_n_quarantined"),
+                    F.min(F.when(ok, F.col("lsn"))).alias("_min_lsn"),
+                    F.max(F.when(ok, F.col("lsn"))).alias("_max_lsn"),
+                    F.min(F.when(ok, F.col("ts"))).alias("_min_ts"),
+                    F.max(F.when(ok, F.col("ts"))).alias("_max_ts"),
+                )
+                .withColumn("_b", bucket_col)
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            .collect()
-        )
+            per_bucket = (
+                per_key.groupBy("_b")
+                .agg(
+                    F.sum("_n_events").alias("n_events"),
+                    F.sum("_n_upserts").alias("n_upserts"),
+                    F.sum("_n_deletes").alias("n_deletes"),
+                    F.sum("_n_quarantined").alias("n_quarantined"),
+                    F.min("_min_lsn").alias("min_lsn"),
+                    F.max("_max_lsn").alias("max_lsn"),
+                    F.min("_min_ts").alias("min_ts"),
+                    F.max("_max_ts").alias("max_ts"),
+                )
+                .collect()
+            )
+        else:
+            valid, _ = split_valid(chunk)
+            per_bucket = (
+                chunk.withColumn("_ok", ok)
+                .withColumn("_b", bucket_col)
+                .groupBy("_b")
+                .agg(
+                    F.sum(F.col("_ok").cast("long")).alias("n_events"),
+                    F.sum((F.col("_ok") & (F.col("op") != "D")).cast("long")).alias("n_upserts"),
+                    F.sum((F.col("_ok") & (F.col("op") == "D")).cast("long")).alias("n_deletes"),
+                    F.sum((~F.col("_ok")).cast("long")).alias("n_quarantined"),
+                    F.min(F.when(F.col("_ok"), F.col("lsn"))).alias("min_lsn"),
+                    F.max(F.when(F.col("_ok"), F.col("lsn"))).alias("max_lsn"),
+                    F.min(F.when(F.col("_ok"), F.col("ts"))).alias("min_ts"),
+                    F.max(F.when(F.col("_ok"), F.col("ts"))).alias("max_ts"),
+                )
+                .collect()
+            )
+        tp = _phase("metrics_agg", t0)
         stats.n_quarantined = sum(r["n_quarantined"] for r in per_bucket)
         per_bucket = [r for r in per_bucket if r["n_events"] > 0]
         if not per_bucket:
             # nothing valid in the chunk — still advance the offset so the
-            # chunk is never replayed (empty commit, metadata only)
+            # chunk is never replayed (metadata-only commit)
             if stats.n_quarantined:
-                self._write_quarantine(quarantined, batch_id)
-            self.target.replace_buckets(
-                self.target.read(buckets=[]),
-                [],
-                summary=self._summary(snap, hi, batch_id, {}, epoch),
+                self._write_quarantine(split_valid(chunk)[1], batch_id)
+            self.target.commit_summary(
+                self._summary(snap, hi, batch_id, {}, epoch),
                 expected_parent=snap.snapshot_id,
             )
+            if per_key is not None:
+                per_key.unpersist()
             stats.duration_ms = int((time.monotonic() - t0) * 1000)
             return stats
 
@@ -200,44 +268,80 @@ class CdcApplier:
         stats.n_upserts = sum(r["n_upserts"] for r in per_bucket)
         stats.n_deletes = sum(r["n_deletes"] for r in per_bucket)
 
-        # --- the merge plan: union RAW valid events with the affected target
-        # rows and run ONE LWW aggregation over both. The chunk needs no
-        # separate pre-dedup — max_by over the union subsumes it, and the
-        # partial-aggregation (map-side combine) step collapses duplicate
-        # deliveries and multi-updates *before* the shuffle. Two exchanges
-        # total per chunk: hash(conv_id, turn_idx) for the aggregate, then
-        # hash(bucket) to cluster the write.
-        current = self.target.read(buckets=affected).withColumn("op", F.lit("K"))
-        united = current.unionByName(valid, allowMissingColumns=True)
-        winners = lww_dedup(
-            united,
-            keys=KEY_COLS,
-            order=ORDER_COLS,
-            method=self.dedup_method,
-            salt_buckets=self.salt_buckets,
-        )
-        merged = winners.where(F.col("op") != "D").drop("op")
-
-        # column order: existing schema first, additive columns appended
-        existing = [f.name for f in snap.schema.fields]
-        new_cols = [c for c in merged.columns if c not in existing]
-        merged = merged.select(*existing, *new_cols)
-
         if hi is None:  # streaming: offsets derived from the batch itself
             hi = max(int(r["max_lsn"]) for r in per_bucket)
             stats.hi = hi
         per_part = {str(b): int(r["max_lsn"]) for b, r in zip(affected, per_bucket)}
-        new_snap = self.target.replace_buckets(
-            merged,
-            affected,
-            summary=self._summary(snap, hi, batch_id, per_part, epoch),
-            sort_cols=KEY_COLS,
-            expected_parent=snap.snapshot_id,
-        )
+        summary = self._summary(snap, hi, batch_id, per_part, epoch)
+        existing = [f.name for f in snap.schema.fields]
+
+        # LWW winners of this chunk, one row per key, still carrying op
+        # ('D' winners are delete tombstones). Fused plan: already computed
+        # (and persisted) by the metrics pass above.
+        if fused:
+            winners = per_key.where(F.col("_n_events") > 0).select(
+                *KEY_COLS, "_w.*"
+            )
+        else:
+            winners = lww_dedup(
+                valid,
+                keys=KEY_COLS,
+                order=ORDER_COLS,
+                method=self.dedup_method,
+                salt_buckets=self.salt_buckets,
+            )
+
+        if self.mode == "mor":
+            # --- merge-on-read: the winners — including op='D' tombstones —
+            # are appended as a delta layer. Base files untouched: per
+            # chunk the table gains O(changed keys) bytes, not
+            # O(affected-bucket size). Reads resolve LWW across layers;
+            # compaction (threshold-driven in replay) amortises the rewrite.
+            cols = (
+                [c for c in existing if c in winners.columns]
+                + [c for c in winners.columns if c not in existing and c != "op"]
+                + ["op"]
+            )
+            new_snap = self.target.append_delta(
+                winners.select(cols),
+                summary=summary,
+                sort_cols=KEY_COLS,
+                expected_parent=snap.snapshot_id,
+            )
+        else:
+            # --- copy-on-write merge: union the chunk's winners with the
+            # affected target rows and run ONE LWW aggregation over both.
+            # Two exchanges per chunk: hash(conv_id, turn_idx) for the
+            # aggregate, then hash(bucket) to cluster the write.
+            current = self.target.read(buckets=affected).withColumn("op", F.lit("K"))
+            united = current.unionByName(winners, allowMissingColumns=True)
+            resolved = lww_dedup(
+                united,
+                keys=KEY_COLS,
+                order=ORDER_COLS,
+                method="max_by" if fused else self.dedup_method,
+                salt_buckets=self.salt_buckets,
+            )
+            merged = resolved.where(F.col("op") != "D").drop("op")
+
+            # column order: existing schema first, additive columns appended
+            new_cols = [c for c in merged.columns if c not in existing]
+            merged = merged.select(*existing, *new_cols)
+            new_snap = self.target.replace_buckets(
+                merged,
+                affected,
+                summary=summary,
+                sort_cols=KEY_COLS,
+                expected_parent=snap.snapshot_id,
+            )
         stats.snapshot_id = new_snap.snapshot_id
+        if per_key is not None:
+            per_key.unpersist()
+        tp = _phase("merge_write", tp)
 
         if stats.n_quarantined:
-            self._write_quarantine(quarantined, batch_id)
+            self._write_quarantine(split_valid(chunk)[1], batch_id)
+            tp = _phase("quarantine", tp)
         stats.duration_ms = int((time.monotonic() - t0) * 1000)
 
         if self.with_lineage and self.lineage is not None:
@@ -258,11 +362,28 @@ class CdcApplier:
                 }
                 for i, r in enumerate(per_bucket)
             ]
-            self.lineage.append(
-                self.spark.createDataFrame(rows, LINEAGE_SCHEMA),
-                summary={"batch_id": batch_id},
-            )
+            if defer_lineage:
+                # replay batches many chunks' rows into ONE lineage commit —
+                # a per-chunk Spark job over a handful of rows is pure fixed
+                # overhead (it scales with chunk count, not data)
+                self._lineage_buf.extend(rows)
+            else:
+                self.lineage.append(
+                    self.spark.createDataFrame(rows, LINEAGE_SCHEMA),
+                    summary={"batch_id": batch_id},
+                )
+            _phase("lineage", tp)
         return stats
+
+    def flush_lineage(self) -> None:
+        """Write any buffered lineage rows as one append commit."""
+        if not self._lineage_buf or self.lineage is None:
+            return
+        rows, self._lineage_buf = self._lineage_buf, []
+        self.lineage.append(
+            self.spark.createDataFrame(rows, LINEAGE_SCHEMA),
+            summary={"batch_id": rows[-1]["batch_id"]},
+        )
 
     def _summary(
         self,
@@ -304,10 +425,16 @@ class CdcApplier:
         changes: DataFrame,
         chunk_size: int,
         source_hi: int | None = None,
+        compact_at_end: bool = False,
     ) -> list[ChunkStats]:
         """Replay everything past the checkpoint, chunk by chunk. Safe to
         kill between chunks and re-invoke: resumes from the committed offset
-        with no duplicates or gaps."""
+        with no duplicates or gaps.
+
+        Under MOR, buckets whose delta layer count reaches
+        ``compact_threshold`` are compacted between chunks (bounding read
+        amplification); ``compact_at_end=True`` leaves the table fully
+        read-optimised when the replay finishes."""
         if source_hi is None:
             source_hi = changes.agg(F.max("lsn")).collect()[0][0]
         committed = self.committed_lsn()
@@ -316,5 +443,29 @@ class CdcApplier:
         next_batch = self.target.snapshot().summary.get("batch_id", -1) + 1
         for i, (lo, hi) in enumerate(plan.ranges):
             chunk = changes.where((F.col("lsn") > lo) & (F.col("lsn") <= hi))
-            out.append(self.apply_chunk(chunk, lo, hi, batch_id=next_batch + i))
+            out.append(
+                self.apply_chunk(
+                    chunk, lo, hi, batch_id=next_batch + i, defer_lineage=True
+                )
+            )
+            self._maybe_compact()
+        if compact_at_end:
+            tc = time.monotonic()
+            self.target.compact()
+            _phase("compact_end", tc)
+        self.flush_lineage()
         return out
+
+    def _maybe_compact(self) -> None:
+        if self.compact_threshold is None:
+            return
+        snap = self.target.snapshot()
+        hot = [
+            int(b)
+            for b, fs in snap.delta_files.items()
+            if len(fs) >= self.compact_threshold
+        ]
+        if hot:
+            tc = time.monotonic()
+            self.target.compact(buckets=hot)
+            _phase("compact_auto", tc)

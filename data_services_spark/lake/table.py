@@ -28,6 +28,15 @@ filesystem renames. The contract (modeled on Apache Iceberg's public spec):
   reference (metadata only) — this is what makes copy-on-write upserts scale:
   at 100 TB with 4096 buckets, a batch touching 200 buckets rewrites ~5% of
   the table and zero-copies the rest.
+* **Merge-on-read delta layers (Iceberg v2 equality-delete analogue)** —
+  ``append_delta`` commits a layer of pre-deduped *winner* rows (one row per
+  merge key, carrying an ``op`` column where ``'D'`` is a key-level delete
+  tombstone) without touching base files. ``read`` resolves base ∪ deltas by
+  last-writer-wins over the table's ``order_cols`` — exactly how
+  production CDC sinks (Flink → Iceberg upsert mode) avoid the
+  O(table_size × batches) cost of copy-on-write: per batch they write only
+  the changed keys, and ``compact`` amortises the rewrite. Copy-on-write
+  (``replace_buckets``) remains available for read-heavy tables.
 
 Layout on disk::
 
@@ -77,6 +86,11 @@ class Snapshot:
     bucket_keys: list[str]
     bucket_files: dict[str, list[str]]  # bucket -> table-relative file paths
     summary: dict[str, Any] = field(default_factory=dict)
+    # merge-on-read layers: bucket -> ordered winner-file paths (Iceberg v2
+    # equality-delete analogue); resolved lazily at read time by LWW
+    delta_files: dict[str, list[str]] = field(default_factory=dict)
+    # table properties, e.g. merge_keys / order_cols for MOR resolution
+    props: dict[str, Any] = field(default_factory=dict)
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -88,6 +102,8 @@ class Snapshot:
             "bucket_keys": self.bucket_keys,
             "bucket_files": self.bucket_files,
             "summary": self.summary,
+            "delta_files": self.delta_files,
+            "props": self.props,
         }
 
     @staticmethod
@@ -101,6 +117,8 @@ class Snapshot:
             bucket_keys=d["bucket_keys"],
             bucket_files=d["bucket_files"],
             summary=d.get("summary", {}),
+            delta_files=d.get("delta_files", {}),
+            props=d.get("props", {}),
         )
 
     @property
@@ -108,7 +126,12 @@ class Snapshot:
         return T.StructType.fromJson(self.schema_json)
 
     def all_files(self) -> list[str]:
-        return [f for files in self.bucket_files.values() for f in files]
+        return [f for files in self.bucket_files.values() for f in files] + [
+            f for files in self.delta_files.values() for f in files
+        ]
+
+    def delta_buckets(self) -> list[int]:
+        return sorted(int(b) for b, fs in self.delta_files.items() if fs)
 
 
 def _bucket_expr(bucket_keys: list[str], bucket_count: int) -> F.Column:
@@ -140,6 +163,7 @@ class LakeTable:
         bucket_keys: list[str],
         bucket_count: int = 16,
         summary: dict[str, Any] | None = None,
+        props: dict[str, Any] | None = None,
     ) -> "LakeTable":
         path = os.path.abspath(path)
         lake = os.path.join(path, _LAKE_DIR)
@@ -155,6 +179,7 @@ class LakeTable:
             bucket_keys=list(bucket_keys),
             bucket_files={},
             summary=summary or {},
+            props=props or {},
         )
         cls._write_snapshot(lake, snap)
         cls._flip_current(lake, snap.snapshot_id)
@@ -228,22 +253,59 @@ class LakeTable:
     ) -> DataFrame:
         """Read the table at a snapshot ("VERSION AS OF"), optionally pruned
         to a bucket subset (partition pruning — only those buckets' files are
-        listed in the scan, everything else is never opened)."""
+        listed in the scan, everything else is never opened).
+
+        If the selected buckets carry merge-on-read delta layers, they are
+        resolved here: last-writer-wins over the table's ``order_cols``
+        across base ∪ delta rows, then delete tombstones (``op='D'``)
+        drop out. Buckets without deltas take the plain-scan fast path."""
         snap = self.snapshot(snapshot_id)
-        if buckets is None:
-            files = snap.all_files()
-        else:
-            files = [f for b in buckets for f in snap.bucket_files.get(str(b), [])]
-        if not files:
+        sel = list(range(snap.bucket_count)) if buckets is None else buckets
+        base_files = [f for b in sel for f in snap.bucket_files.get(str(b), [])]
+        delta_files = [f for b in sel for f in snap.delta_files.get(str(b), [])]
+        cols = [fld.name for fld in snap.schema.fields]
+        if not base_files and not delta_files:
             return self.spark.createDataFrame([], snap.schema)
-        abs_files = [os.path.join(self.path, f) for f in files]
         # Read with the snapshot's schema instead of mergeSchema: the
         # manifest is the source of truth, so no per-file footer merging on
         # the driver (which serializes and costs seconds per read at scale).
         # The vectorized parquet reader fills columns absent from older
         # files with NULLs — exactly additive-evolution semantics.
-        df = self.spark.read.schema(snap.schema).parquet(*abs_files)
-        return df.select([fld.name for fld in snap.schema.fields])
+        if not delta_files:
+            df = self.spark.read.schema(snap.schema).parquet(
+                *[os.path.join(self.path, f) for f in base_files]
+            )
+            return df.select(cols)
+
+        delta_schema = T.StructType(
+            snap.schema.fields + [T.StructField("op", T.StringType(), True)]
+        )
+        deltas = self.spark.read.schema(delta_schema).parquet(
+            *[os.path.join(self.path, f) for f in delta_files]
+        )
+        if base_files:
+            base = self.spark.read.schema(snap.schema).parquet(
+                *[os.path.join(self.path, f) for f in base_files]
+            ).withColumn("op", F.lit(None).cast("string"))
+            union = base.unionByName(deltas)
+        else:
+            union = deltas
+        keys = snap.props.get("merge_keys", snap.bucket_keys)
+        order = snap.props.get("order_cols")
+        if not order:
+            raise ValueError(
+                f"table {self.path} has delta layers but no order_cols prop"
+            )
+        payload = F.struct(*[F.col(c) for c in union.columns if c not in keys])
+        rank = F.struct(*[F.col(c) for c in order])
+        winners = (
+            union.groupBy(*keys)
+            .agg(F.max_by(payload, rank).alias("_w"))
+            .select(*keys, "_w.*")
+        )
+        return winners.where(
+            F.col("op").isNull() | (F.col("op") != "D")
+        ).select(cols)
 
     # ----------------------------------------------------------------- write
     def _write_data_files(
@@ -295,6 +357,7 @@ class LakeTable:
         schema: T.StructType,
         summary: dict[str, Any],
         expected_parent: int | None = None,
+        delta_files: dict[str, list[str]] | None = None,
     ) -> Snapshot:
         parent = self.current_snapshot_id()
         if expected_parent is not None and parent != expected_parent:
@@ -303,6 +366,7 @@ class LakeTable:
         merged.update(new_bucket_files)
         merged = {b: fs for b, fs in merged.items() if fs}
         prev = self.snapshot(parent)
+        deltas = prev.delta_files if delta_files is None else delta_files
         snap = Snapshot(
             snapshot_id=parent + 1,
             parent_id=parent,
@@ -312,6 +376,8 @@ class LakeTable:
             bucket_keys=prev.bucket_keys,
             bucket_files=merged,
             summary=summary,
+            delta_files={b: fs for b, fs in deltas.items() if fs},
+            props=prev.props,
         )
         self._write_snapshot(self._lake, snap)
         self._flip_current(self._lake, snap.snapshot_id)
@@ -330,7 +396,7 @@ class LakeTable:
         """Full-table rewrite (bootstrap / compaction target)."""
         token = f"c{self.current_snapshot_id() + 1}-{uuid.uuid4().hex[:12]}"
         files = self._write_data_files(self._with_bucket(df), token, sort_cols)
-        return self._commit("overwrite", files, {}, df.schema, summary or {})
+        return self._commit("overwrite", files, {}, df.schema, summary or {}, delta_files={})
 
     def append(
         self,
@@ -388,13 +454,95 @@ class LakeTable:
         # an affected bucket whose merged content is empty must drop its files
         for b in affected_buckets:
             new_files.setdefault(str(b), [])
+        affected_set = set(affected_buckets)
         carried = {
-            b: fs for b, fs in snap.bucket_files.items() if int(b) not in set(affected_buckets)
+            b: fs for b, fs in snap.bucket_files.items() if int(b) not in affected_set
+        }
+        # the rewrite subsumes any delta layers on the affected buckets
+        deltas = {
+            b: fs for b, fs in snap.delta_files.items() if int(b) not in affected_set
         }
         schema = new_schema or self._evolve_schema(snap.schema, df.schema)
         return self._commit(
             "merge", new_files, carried, schema, summary or {},
             expected_parent if expected_parent is not None else snap.snapshot_id,
+            delta_files=deltas,
+        )
+
+    def append_delta(
+        self,
+        df: DataFrame,
+        summary: dict[str, Any] | None = None,
+        sort_cols: list[str] | None = None,
+        expected_parent: int | None = None,
+    ) -> Snapshot:
+        """Merge-on-read upsert: commit ``df`` — pre-deduped winner rows (one
+        per merge key) carrying an ``op`` column where ``'D'`` marks a
+        key-level delete tombstone — as a new delta layer on its buckets.
+        Base files are untouched; ``read`` resolves, ``compact`` amortises.
+        This is the Iceberg v2 equality-delete write path: per batch the
+        table gains O(changed keys) bytes, not O(bucket size)."""
+        snap = self.snapshot()
+        token = f"d{snap.snapshot_id + 1}-{uuid.uuid4().hex[:12]}"
+        new_files = self._write_data_files(self._with_bucket(df), token, sort_cols)
+        deltas = dict(snap.delta_files)
+        for b, fs in new_files.items():
+            deltas[b] = deltas.get(b, []) + fs
+        visible = T.StructType([f for f in df.schema.fields if f.name != "op"])
+        schema = self._evolve_schema(snap.schema, visible)
+        return self._commit(
+            "delta-append", {}, snap.bucket_files, schema, summary or {},
+            expected_parent if expected_parent is not None else snap.snapshot_id,
+            delta_files=deltas,
+        )
+
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Materialise delta layers back into base files (Iceberg
+        ``rewrite_data_files`` analogue). Only buckets that actually carry
+        deltas are rewritten; pass ``buckets`` to bound the work (e.g.
+        auto-compact just the layers-over-threshold buckets). ``summary``
+        defaults to carrying the previous snapshot's summary forward so
+        offsets survive maintenance commits."""
+        snap = self.snapshot()
+        targets = snap.delta_buckets()
+        if buckets is not None:
+            want = set(buckets)
+            targets = [b for b in targets if b in want]
+        if not targets:
+            return snap
+        merged = self.read(buckets=targets)
+        token = f"c{snap.snapshot_id + 1}-{uuid.uuid4().hex[:12]}"
+        sort_cols = snap.props.get("merge_keys", snap.bucket_keys)
+        new_files = self._write_data_files(self._with_bucket(merged), token, sort_cols)
+        target_set = set(targets)
+        for b in targets:
+            new_files.setdefault(str(b), [])
+        carried = {
+            b: fs for b, fs in snap.bucket_files.items() if int(b) not in target_set
+        }
+        deltas = {
+            b: fs for b, fs in snap.delta_files.items() if int(b) not in target_set
+        }
+        return self._commit(
+            "compact", new_files, carried, snap.schema,
+            snap.summary if summary is None else summary,
+            snap.snapshot_id, delta_files=deltas,
+        )
+
+    def commit_summary(
+        self, summary: dict[str, Any], expected_parent: int | None = None
+    ) -> Snapshot:
+        """Metadata-only commit: carry every file forward, update only the
+        summary (e.g. advancing offsets past an all-quarantined chunk)."""
+        snap = self.snapshot()
+        return self._commit(
+            "summary", {}, snap.bucket_files, snap.schema, summary,
+            expected_parent if expected_parent is not None else snap.snapshot_id,
+            delta_files=snap.delta_files,
         )
 
     # ------------------------------------------------------------- housekeeping

@@ -1,0 +1,137 @@
+"""Merge-on-read (delta-layer) semantics of the lake table + apply loop.
+
+The MOR write path is the engine's at-scale answer to copy-on-write's
+O(table x chunks) rewrite cost (Iceberg v2 equality-delete analogue; same
+shape as Flink's Iceberg upsert sink). These tests pin down:
+
+* delta layers accumulate without touching base files;
+* reads resolve LWW across base + deltas, dropping op='D' tombstones;
+* compaction materialises the same state and carries offsets forward;
+* threshold auto-compaction bounds layer counts during replay;
+* MOR and COW replays of the same stream produce identical final state.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_services_spark.cdc.apply import CdcApplier
+from data_services_spark.cdc.generator import generate_changes
+from data_services_spark.cdc.oracle import expected_final_state, table_state_matches
+
+N_EVENTS = 6000
+
+
+@pytest.fixture(scope="module")
+def changes_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("mor_changes") / "changes.parquet")
+    generate_changes(
+        spark, N_EVENTS, n_convs=150, max_turns=20, n_hot=2, hot_pct=25,
+        delete_pct=8, seed=23,
+    ).write.parquet(p)
+    return p
+
+
+def test_delta_layers_accumulate_then_read_resolves(spark, changes_path, tmp_path):
+    applier = CdcApplier.bootstrap(
+        spark, str(tmp_path / "lake"), bucket_count=8, mode="mor",
+        compact_threshold=None,
+    )
+    changes = spark.read.parquet(changes_path)
+    applier.replay(changes, chunk_size=2000)  # 3 chunks, no compaction
+    snap = applier.target.snapshot()
+    assert snap.delta_buckets(), "expected uncompacted delta layers"
+    assert not snap.bucket_files, "MOR replay must not write base files"
+    ok, msg = table_state_matches(
+        applier.target.read().toPandas(), expected_final_state(changes_path)
+    )
+    assert ok, msg
+
+
+def test_compaction_preserves_state_and_offsets(spark, changes_path, tmp_path):
+    applier = CdcApplier.bootstrap(
+        spark, str(tmp_path / "lake"), bucket_count=8, mode="mor",
+        compact_threshold=None,
+    )
+    changes = spark.read.parquet(changes_path)
+    applier.replay(changes, chunk_size=2000)
+    before = applier.committed_lsn()
+    applier.target.compact()
+    snap = applier.target.snapshot()
+    assert snap.operation == "compact"
+    assert not snap.delta_buckets(), "compaction must clear all delta layers"
+    assert applier.committed_lsn() == before, "offsets must survive compaction"
+    ok, msg = table_state_matches(
+        applier.target.read().toPandas(), expected_final_state(changes_path)
+    )
+    assert ok, msg
+    # compacted read takes the plain-scan fast path: no op column resolution
+    assert "op" not in applier.target.read().columns
+
+
+def test_threshold_auto_compaction_bounds_layers(spark, changes_path, tmp_path):
+    applier = CdcApplier.bootstrap(
+        spark, str(tmp_path / "lake"), bucket_count=4, mode="mor",
+        compact_threshold=2,
+    )
+    changes = spark.read.parquet(changes_path)
+    applier.replay(changes, chunk_size=1000)  # 6 chunks vs threshold 2
+    snap = applier.target.snapshot()
+    layer_counts = [len(fs) for fs in snap.delta_files.values()]
+    assert max(layer_counts, default=0) < 2 + 1, layer_counts
+    ok, msg = table_state_matches(
+        applier.target.read().toPandas(), expected_final_state(changes_path)
+    )
+    assert ok, msg
+
+
+def test_mor_equals_cow_final_state(spark, changes_path, tmp_path):
+    changes = spark.read.parquet(changes_path)
+    mor = CdcApplier.bootstrap(spark, str(tmp_path / "mor"), bucket_count=8, mode="mor")
+    cow = CdcApplier.bootstrap(spark, str(tmp_path / "cow"), bucket_count=8, mode="cow")
+    mor.replay(changes, chunk_size=2500, compact_at_end=True)
+    cow.replay(changes, chunk_size=2500)
+    ok, msg = table_state_matches(
+        mor.target.read().toPandas(), cow.target.read().toPandas()
+    )
+    assert ok, msg
+
+
+def test_delete_then_reinsert_across_layers(spark, tmp_path):
+    """A key deleted in one delta layer and re-inserted in a later one must
+    survive with the newer payload; deleted-and-never-reinserted keys must
+    not resurface after compaction."""
+    from datetime import datetime, timezone
+
+    from data_services_spark.cdc.schemas import CHANGES_SCHEMA
+
+    def at(s):
+        return datetime(2025, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+
+    rows = [
+        (0, "I", at(0), "c1", 0, "user", "hello", None),
+        (1, "I", at(1), "c1", 1, "assistant", "hi", None),
+        (2, "D", at(2), "c1", 1, None, None, None),
+        (3, "D", at(3), "c1", 0, None, None, None),
+        (4, "I", at(4), "c1", 0, "user", "hello again", None),
+    ]
+    df = spark.createDataFrame(rows, CHANGES_SCHEMA)
+
+    applier = CdcApplier.bootstrap(
+        spark, str(tmp_path / "lake"), bucket_count=4, mode="mor",
+        compact_threshold=None,
+    )
+    # one event per chunk -> 5 delta layers, maximal layering
+    applier.replay(df, chunk_size=1, source_hi=4)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in applier.target.read().collect()
+    }
+    assert got == {("c1", 0): "hello again"}
+    applier.target.compact()
+    got2 = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in applier.target.read().collect()
+    }
+    assert got2 == got

@@ -36,6 +36,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--bucket-count", type=int, default=16)
     ap.add_argument("--dedup-method", default="max_by",
                     choices=["max_by", "salted", "window"])
+    ap.add_argument("--apply-mode", default="mor", choices=["mor", "cow"],
+                    help="mor: append delta layers (write-optimised, at-scale"
+                         " default); cow: rewrite affected buckets")
+    ap.add_argument("--compact-threshold", type=int, default=16,
+                    help="compact a bucket when its delta layer count reaches"
+                         " this (0 disables auto-compaction)")
+    ap.add_argument("--compact-at-end", action="store_true",
+                    help="leave the table fully read-optimised after replay")
     ap.add_argument("--cpus", type=int, default=None, help="local[N] (local mode only)")
     ap.add_argument("--no-lineage", action="store_true")
     ap.add_argument("--verify-oracle", action="store_true",
@@ -59,19 +67,22 @@ def main(argv: list[str] | None = None) -> int:
     else:
         ap.error("need --changes or --generate-events")
 
+    kwargs = dict(
+        dedup_method=args.dedup_method, with_lineage=not args.no_lineage,
+        mode=args.apply_mode,
+        compact_threshold=args.compact_threshold or None,
+    )
     if LakeTable.exists(f"{args.root}/transcripts"):
-        applier = CdcApplier.load(
-            spark, args.root,
-            dedup_method=args.dedup_method, with_lineage=not args.no_lineage,
-        )
+        applier = CdcApplier.load(spark, args.root, **kwargs)
     else:
         applier = CdcApplier.bootstrap(
-            spark, args.root, bucket_count=args.bucket_count,
-            dedup_method=args.dedup_method, with_lineage=not args.no_lineage,
+            spark, args.root, bucket_count=args.bucket_count, **kwargs
         )
 
     t0 = time.monotonic()
-    stats = applier.replay(changes, chunk_size=args.chunk_size)
+    stats = applier.replay(
+        changes, chunk_size=args.chunk_size, compact_at_end=args.compact_at_end
+    )
     wall = time.monotonic() - t0
 
     total = 0

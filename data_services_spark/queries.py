@@ -1274,3 +1274,200 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sim, 6).alias("sim"),
         )
     )
+
+
+@register(
+    "json_flatten_props",
+    sql="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)
+             AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Nested-JSON payload flattening (pandas.json_normalize idiom, "
+        "qld_data_parser.py:60; XML->dict aims_realtime_util.py:431-475): "
+        "from_json the props column, aggregate the extracted field.",
+)
+def json_flatten_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "topk_per_group",
+    sql="""
+    SELECT event_type, event_id, round(value, 6) AS value_r, rk
+    FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rk
+        FROM events
+    )
+    WHERE rk <= 3
+    """,
+    doc="Top-k per group (latest/top-1 idiom generalised: sofar/api.py:94 "
+        "latest element; Olrac/aodn_sst2geotiff.py:28-39 walk-back-to-"
+        "newest): rank within event_type, keep top 3 by value with a "
+        "deterministic event_id tiebreak.",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "event_type", "event_id",
+            F.round("value", 6).alias("value_r"), "rk",
+        )
+    )
+
+
+@register(
+    "dropna_subset",
+    sql="""
+    SELECT event_type, count(*) AS n_rows, round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE value IS NOT NULL AND props IS NOT NULL AND ts IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Null-row filter (dropna(subset=[...]): qld_data_parser.py:153; "
+        "ardc_sofar_nrt.py:70): drop rows missing any required column, "
+        "then aggregate survivors.",
+)
+def dropna_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.na.drop(subset=["value", "props", "ts"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "multiformat_timestamp_parse",
+    sql="""
+    WITH s AS (
+        SELECT event_type,
+               CASE event_id % 3
+                 WHEN 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+                 WHEN 1 THEN strftime(ts, '%d/%m/%Y %H:%M:%S')
+                 ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S')
+               END AS raw
+        FROM events
+    )
+    SELECT event_type,
+           count(coalesce(
+               try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+               try_strptime(raw, '%d/%m/%Y %H:%M:%S'),
+               try_strptime(raw, '%Y-%m-%dT%H:%M:%S'))) AS n_parsed,
+           min(coalesce(
+               try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+               try_strptime(raw, '%d/%m/%Y %H:%M:%S'),
+               try_strptime(raw, '%Y-%m-%dT%H:%M:%S'))) AS min_parsed,
+           max(coalesce(
+               try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+               try_strptime(raw, '%d/%m/%Y %H:%M:%S'),
+               try_strptime(raw, '%Y-%m-%dT%H:%M:%S'))) AS max_parsed
+    FROM s
+    GROUP BY event_type
+    """,
+    doc="Multi-format timestamp dispatch (strptime ladder "
+        "IMOSfilename.py:29-68; qld_data_parser.py:108-123): render each "
+        "ts in one of three provider formats, parse back via a "
+        "try-each-format coalesce, aggregate parsed extents.",
+)
+def multiformat_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("event_id") % 3 == 0, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .when(F.col("event_id") % 3 == 1, F.date_format("ts", "dd/MM/yyyy HH:mm:ss"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
+    )
+    parsed = F.coalesce(
+        F.try_to_timestamp(F.col("raw"), F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(F.col("raw"), F.lit("dd/MM/yyyy HH:mm:ss")),
+        F.try_to_timestamp(F.col("raw"), F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+    )
+    return (
+        ev.withColumn("raw", raw)
+        .withColumn("parsed", parsed)
+        .groupBy("event_type")
+        .agg(
+            F.count("parsed").alias("n_parsed"),
+            F.min("parsed").alias("min_parsed"),
+            F.max("parsed").alias("max_parsed"),
+        )
+    )
+
+
+@register(
+    "bounds_quarantine_split",
+    sql="""
+    SELECT CASE WHEN value BETWEEN 0.05 AND 0.95 THEN 'ok'
+                ELSE 'rejected' END AS status,
+           count(*) AS n_rows,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Range/bounds predicate with quarantine branch (lat/lon bounds "
+        "reject, soop_trv.py:103-112; failing units to wip/errors, "
+        "faimms.py:199-207): classify rows against bounds, report both "
+        "branches instead of silently dropping.",
+)
+def bounds_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    status = F.when(
+        F.col("value").between(0.05, 0.95), F.lit("ok")
+    ).otherwise(F.lit("rejected"))
+    return (
+        ev.withColumn("status", status)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "column_cardinality_profile",
+    sql="""
+    SELECT count(DISTINCT event_type) AS n_event_type,
+           count(DISTINCT user_id) AS n_user_id,
+           count(DISTINCT props) AS n_props,
+           (count(DISTINCT event_type) = 1) AS drop_event_type,
+           (count(DISTINCT props) = 1) AS drop_props
+    FROM events
+    """,
+    doc="Column-cardinality profiling driving constant-column drop "
+        "(nunique==1 columns removed, qld_data_parser.py:159-170): "
+        "distinct counts per column plus the drop decision flags.",
+)
+def column_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("event_type").alias("n_event_type"),
+        F.countDistinct("user_id").alias("n_user_id"),
+        F.countDistinct("props").alias("n_props"),
+        (F.countDistinct("event_type") == 1).alias("drop_event_type"),
+        (F.countDistinct("props") == 1).alias("drop_props"),
+    )

@@ -261,32 +261,41 @@ class LakeTable:
         drop out. Buckets without deltas take the plain-scan fast path."""
         snap = self.snapshot(snapshot_id)
         sel = list(range(snap.bucket_count)) if buckets is None else buckets
-        base_files = [f for b in sel for f in snap.bucket_files.get(str(b), [])]
-        delta_files = [f for b in sel for f in snap.delta_files.get(str(b), [])]
         cols = [fld.name for fld in snap.schema.fields]
-        if not base_files and not delta_files:
-            return self.spark.createDataFrame([], snap.schema)
+        # split the plan: buckets WITHOUT deltas take a plain scan; the LWW
+        # merge aggregation runs only over delta-bearing buckets, so its
+        # shuffle is proportional to the un-compacted slice of the table,
+        # not the whole selection
+        delta_sel = [b for b in sel if snap.delta_files.get(str(b))]
+        clean_sel = [b for b in sel if not snap.delta_files.get(str(b))]
+        clean_files = [f for b in clean_sel for f in snap.bucket_files.get(str(b), [])]
+        base_files = [f for b in delta_sel for f in snap.bucket_files.get(str(b), [])]
+        delta_files = [f for b in delta_sel for f in snap.delta_files.get(str(b), [])]
+
         # Read with the snapshot's schema instead of mergeSchema: the
         # manifest is the source of truth, so no per-file footer merging on
         # the driver (which serializes and costs seconds per read at scale).
         # The vectorized parquet reader fills columns absent from older
         # files with NULLs — exactly additive-evolution semantics.
-        if not delta_files:
-            df = self.spark.read.schema(snap.schema).parquet(
-                *[os.path.join(self.path, f) for f in base_files]
+        def _scan(files: list[str], schema: T.StructType) -> DataFrame:
+            return self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f) for f in files]
             )
-            return df.select(cols)
+
+        clean = _scan(clean_files, snap.schema).select(cols) if clean_files else None
+        if not delta_files:
+            if clean is None:
+                return self.spark.createDataFrame([], snap.schema)
+            return clean
 
         delta_schema = T.StructType(
             snap.schema.fields + [T.StructField("op", T.StringType(), True)]
         )
-        deltas = self.spark.read.schema(delta_schema).parquet(
-            *[os.path.join(self.path, f) for f in delta_files]
-        )
+        deltas = _scan(delta_files, delta_schema)
         if base_files:
-            base = self.spark.read.schema(snap.schema).parquet(
-                *[os.path.join(self.path, f) for f in base_files]
-            ).withColumn("op", F.lit(None).cast("string"))
+            base = _scan(base_files, snap.schema).withColumn(
+                "op", F.lit(None).cast("string")
+            )
             union = base.unionByName(deltas)
         else:
             union = deltas
@@ -303,9 +312,10 @@ class LakeTable:
             .agg(F.max_by(payload, rank).alias("_w"))
             .select(*keys, "_w.*")
         )
-        return winners.where(
+        merged = winners.where(
             F.col("op").isNull() | (F.col("op") != "D")
         ).select(cols)
+        return merged if clean is None else clean.unionByName(merged)
 
     # ----------------------------------------------------------------- write
     def _write_data_files(

@@ -45,7 +45,6 @@ def _phase(label: str, t0: float) -> float:
         print(f"[phase] {label}: {t1 - t0:.3f}s", file=sys.stderr)
     return t1
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -182,69 +181,32 @@ class CdcApplier:
         from .validate import validation_reason
 
         ok = validation_reason(chunk).isNull()
-        # "fused" plan (default max_by dedup): ONE scan + ONE key-hash
-        # shuffle computes BOTH the LWW winners and the per-key event
-        # counts; per-bucket metrics are then a tiny rollup of the persisted
-        # per-key aggregate, and the merge/delta write below reuses it —
-        # the chunk's raw parquet is decoded exactly once. Invalid rows
-        # enter the aggregate with NULL ordering (max_by skips them) so one
-        # pass also yields quarantine counts. Non-fused dedup methods
-        # (salted / window) keep the two-pass layout.
-        fused = self.dedup_method == "max_by"
-        per_key = None
-        valid = None
-        if fused:
-            payload_cols = [c for c in chunk.columns if c not in KEY_COLS]
-            payload = F.struct(*[F.col(c) for c in payload_cols])
-            rank = F.struct(*[F.col(c) for c in ORDER_COLS])
-            per_key = (
-                chunk.groupBy(*KEY_COLS)
-                .agg(
-                    F.max_by(F.when(ok, payload), F.when(ok, rank)).alias("_w"),
-                    F.sum(ok.cast("long")).alias("_n_events"),
-                    F.sum((ok & (F.col("op") != "D")).cast("long")).alias("_n_upserts"),
-                    F.sum((ok & (F.col("op") == "D")).cast("long")).alias("_n_deletes"),
-                    F.sum((~ok).cast("long")).alias("_n_quarantined"),
-                    F.min(F.when(ok, F.col("lsn"))).alias("_min_lsn"),
-                    F.max(F.when(ok, F.col("lsn"))).alias("_max_lsn"),
-                    F.min(F.when(ok, F.col("ts"))).alias("_min_ts"),
-                    F.max(F.when(ok, F.col("ts"))).alias("_max_ts"),
-                )
-                .withColumn("_b", bucket_col)
-                .persist(StorageLevel.MEMORY_AND_DISK)
+        # ONE slim aggregate pass gives per-bucket metrics, quarantine
+        # counts AND the affected-bucket list (collect is <= bucket_count + 1
+        # rows, never data-sized). It reads only the five narrow columns
+        # (keys/op/lsn/ts) — parquet column pruning keeps it ~10% of the
+        # chunk's bytes, which measured CHEAPER than fusing it into the
+        # payload-wide winners aggregation and persisting that (the persist
+        # serializes full text payloads and cost more than this pass saves).
+        # Invalid rows group under their bucket too (hash of a NULL key is
+        # defined), so lineage attributes them.
+        valid, _ = split_valid(chunk)
+        per_bucket = (
+            chunk.withColumn("_ok", ok)
+            .withColumn("_b", bucket_col)
+            .groupBy("_b")
+            .agg(
+                F.sum(F.col("_ok").cast("long")).alias("n_events"),
+                F.sum((F.col("_ok") & (F.col("op") != "D")).cast("long")).alias("n_upserts"),
+                F.sum((F.col("_ok") & (F.col("op") == "D")).cast("long")).alias("n_deletes"),
+                F.sum((~F.col("_ok")).cast("long")).alias("n_quarantined"),
+                F.min(F.when(F.col("_ok"), F.col("lsn"))).alias("min_lsn"),
+                F.max(F.when(F.col("_ok"), F.col("lsn"))).alias("max_lsn"),
+                F.min(F.when(F.col("_ok"), F.col("ts"))).alias("min_ts"),
+                F.max(F.when(F.col("_ok"), F.col("ts"))).alias("max_ts"),
             )
-            per_bucket = (
-                per_key.groupBy("_b")
-                .agg(
-                    F.sum("_n_events").alias("n_events"),
-                    F.sum("_n_upserts").alias("n_upserts"),
-                    F.sum("_n_deletes").alias("n_deletes"),
-                    F.sum("_n_quarantined").alias("n_quarantined"),
-                    F.min("_min_lsn").alias("min_lsn"),
-                    F.max("_max_lsn").alias("max_lsn"),
-                    F.min("_min_ts").alias("min_ts"),
-                    F.max("_max_ts").alias("max_ts"),
-                )
-                .collect()
-            )
-        else:
-            valid, _ = split_valid(chunk)
-            per_bucket = (
-                chunk.withColumn("_ok", ok)
-                .withColumn("_b", bucket_col)
-                .groupBy("_b")
-                .agg(
-                    F.sum(F.col("_ok").cast("long")).alias("n_events"),
-                    F.sum((F.col("_ok") & (F.col("op") != "D")).cast("long")).alias("n_upserts"),
-                    F.sum((F.col("_ok") & (F.col("op") == "D")).cast("long")).alias("n_deletes"),
-                    F.sum((~F.col("_ok")).cast("long")).alias("n_quarantined"),
-                    F.min(F.when(F.col("_ok"), F.col("lsn"))).alias("min_lsn"),
-                    F.max(F.when(F.col("_ok"), F.col("lsn"))).alias("max_lsn"),
-                    F.min(F.when(F.col("_ok"), F.col("ts"))).alias("min_ts"),
-                    F.max(F.when(F.col("_ok"), F.col("ts"))).alias("max_ts"),
-                )
-                .collect()
-            )
+            .collect()
+        )
         tp = _phase("metrics_agg", t0)
         stats.n_quarantined = sum(r["n_quarantined"] for r in per_bucket)
         per_bucket = [r for r in per_bucket if r["n_events"] > 0]
@@ -257,8 +219,6 @@ class CdcApplier:
                 self._summary(snap, hi, batch_id, {}, epoch),
                 expected_parent=snap.snapshot_id,
             )
-            if per_key is not None:
-                per_key.unpersist()
             stats.duration_ms = int((time.monotonic() - t0) * 1000)
             return stats
 
@@ -276,20 +236,16 @@ class CdcApplier:
         existing = [f.name for f in snap.schema.fields]
 
         # LWW winners of this chunk, one row per key, still carrying op
-        # ('D' winners are delete tombstones). Fused plan: already computed
-        # (and persisted) by the metrics pass above.
-        if fused:
-            winners = per_key.where(F.col("_n_events") > 0).select(
-                *KEY_COLS, "_w.*"
-            )
-        else:
-            winners = lww_dedup(
-                valid,
-                keys=KEY_COLS,
-                order=ORDER_COLS,
-                method=self.dedup_method,
-                salt_buckets=self.salt_buckets,
-            )
+        # ('D' winners are delete tombstones). max_by plans as a partial
+        # aggregation — duplicate deliveries collapse map-side, before the
+        # shuffle.
+        winners = lww_dedup(
+            valid,
+            keys=KEY_COLS,
+            order=ORDER_COLS,
+            method=self.dedup_method,
+            salt_buckets=self.salt_buckets,
+        )
 
         if self.mode == "mor":
             # --- merge-on-read: the winners — including op='D' tombstones —
@@ -319,7 +275,7 @@ class CdcApplier:
                 united,
                 keys=KEY_COLS,
                 order=ORDER_COLS,
-                method="max_by" if fused else self.dedup_method,
+                method=self.dedup_method,
                 salt_buckets=self.salt_buckets,
             )
             merged = resolved.where(F.col("op") != "D").drop("op")
@@ -335,8 +291,6 @@ class CdcApplier:
                 expected_parent=snap.snapshot_id,
             )
         stats.snapshot_id = new_snap.snapshot_id
-        if per_key is not None:
-            per_key.unpersist()
         tp = _phase("merge_write", tp)
 
         if stats.n_quarantined:
@@ -448,7 +402,7 @@ class CdcApplier:
                     chunk, lo, hi, batch_id=next_batch + i, defer_lineage=True
                 )
             )
-            self._maybe_compact()
+            self.maybe_compact()
         if compact_at_end:
             tc = time.monotonic()
             self.target.compact()
@@ -456,7 +410,10 @@ class CdcApplier:
         self.flush_lineage()
         return out
 
-    def _maybe_compact(self) -> None:
+    def maybe_compact(self) -> None:
+        """Compact any bucket whose delta layer count reached the
+        threshold — called between replay chunks and per streaming epoch so
+        MOR read amplification stays bounded under both drivers."""
         if self.compact_threshold is None:
             return
         snap = self.target.snapshot()

@@ -22,7 +22,8 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", required=True, choices=["generate", "cdc", "queries"])
+    ap.add_argument("--mode", required=True,
+                    choices=["generate", "cdc", "floor", "queries"])
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--events", type=int, default=2_000_000)
     ap.add_argument("--chunks", type=int, default=2)
@@ -109,6 +110,41 @@ def main(argv: list[str] | None = None) -> int:
                     break
         best["rep_walls"] = reps
         print(json.dumps(best))
+        return 0
+
+    if args.mode == "floor":
+        # Substrate control: the simplest possible Spark job over the SAME
+        # input (scan -> LWW aggregate -> noop sink), zero engine code. Its
+        # scaling between two pinned core counts is the PLATFORM's ceiling
+        # on this box (single-machine memory bandwidth / SMT contention that
+        # adding real machines would not share). Engine efficiency is
+        # reported raw AND normalized against this floor.
+        from pyspark.sql import functions as F
+
+        changes = spark.read.parquet(args.changes)
+        keys = ["conv_id", "turn_idx"]
+        payload = F.struct(*[F.col(c) for c in changes.columns if c not in keys])
+        rank = F.struct("ts", "lsn")
+        plan = (
+            changes.groupBy(*keys)
+            .agg(F.max_by(payload, rank).alias("_w"))
+            .select(*keys, "_w.*")
+        )
+        walls = []
+        for rep in range(args.repeats):
+            t0 = time.monotonic()
+            plan.write.format("noop").mode("overwrite").save()
+            walls.append(round(time.monotonic() - t0, 3))
+            if rep >= 3 and min(walls[-2:]) >= min(walls[:-2]) * 0.90:
+                break
+        best = min(walls)
+        print(json.dumps({
+            "cpus": args.cpus,
+            "events": args.events,
+            "wall_sec": best,
+            "events_per_sec": round(args.events / best, 1),
+            "rep_walls": walls,
+        }))
         return 0
 
     # queries mode

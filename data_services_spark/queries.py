@@ -1249,31 +1249,9 @@ def greatest_least_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "product, precomputed norms.",
 )
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    ).withColumn(
-        "nrm",
-        F.sqrt(F.aggregate(F.zip_with("e", "e", lambda a, b: a * b),
-                           F.lit(0.0), lambda acc, x: acc + x)),
-    )
-    a = v.alias("a")
-    b = v.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    sim = dot / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .where(sim >= 0.45)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(sim, 6).alias("sim"),
-        )
-    )
+    from .operators.similarity import cosine_pairs_above
+
+    return cosine_pairs_above(load(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
 @register(

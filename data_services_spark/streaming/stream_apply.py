@@ -46,6 +46,8 @@ def start_apply_stream(
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         applier.apply_chunk(batch_df, lo=-1, hi=None, batch_id=epoch_id, epoch=epoch_id)
+        # bound MOR delta layering across a long-running stream
+        applier.maybe_compact()
 
     writer = (
         changes_stream.writeStream.foreachBatch(apply_batch)

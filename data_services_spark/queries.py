@@ -1449,3 +1449,312 @@ def column_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.countDistinct("event_type") == 1).alias("drop_event_type"),
         (F.countDistinct("props") == 1).alias("drop_props"),
     )
+
+
+# --------------------------------------------------------------------------
+# Session windows / gap-based sessionization (SURVEY §2.9: the reference's
+# per-run batching with TTL expiry, aims_realtime_util.py:1056-1086, restated
+# as event-gap sessions; monthly panes are the tumbling analog).
+# --------------------------------------------------------------------------
+
+@register(
+    "sessionize_events",
+    sql="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                    THEN 1 ELSE 0 END AS is_new,
+               event_id
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess
+    GROUP BY user_id, session_id
+    HAVING count(*) >= 2
+    """,
+    doc="Gap-based sessionization (30-min inactivity gap) via lag + "
+        "running-sum window then per-session aggregation; the engine's "
+        "batch restatement of session state with TTL "
+        "(aims_realtime_util.py:1056-1086 tmp-state expiry).",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .where(F.col("n_events") >= 2)
+    )
+
+
+@register(
+    "md5_turn_fingerprint",
+    sql="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_distinct_md5,
+           min(md5(text)) AS min_md5
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Content md5 fingerprinting per group — the reference's md5 idiom "
+        "for change detection / idempotent naming / golden tests "
+        "(aims_realtime_util.py:366-375; faimms.py:114-120) and the "
+        "engine's per-turn text-equality verifier.",
+)
+def md5_turn_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_distinct_md5"),
+        F.min(F.md5(F.col("text").cast("binary"))).alias("min_md5"),
+    )
+
+
+@register(
+    "backpressure_gate",
+    sql="""
+    SELECT event_type,
+           count(*) AS n_pending,
+           (count(*) >= 2000) AS abort_run
+    FROM events
+    WHERE event_type IN ('error', 'signup')
+    GROUP BY event_type
+    """,
+    doc="Count-based backpressure admission gate (abort if >= files_crit "
+        "pending, faimms.py:340-345; aims_realtime_util.py:402-423): "
+        "pending counts per class plus the abort decision.",
+)
+def backpressure_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type").isin("error", "signup"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_pending"))
+        .withColumn("abort_run", F.col("n_pending") >= 2000)
+    )
+
+
+@register(
+    "rolling_avg_value",
+    sql="""
+    WITH r AS (
+        SELECT user_id, ts, event_id,
+               avg(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_avg
+        FROM events
+    )
+    SELECT user_id, count(*) AS n_rows,
+           round(max(roll_avg), 6) AS max_roll_avg
+    FROM r
+    GROUP BY user_id
+    HAVING count(*) > 50
+    """,
+    doc="Rolling-window aggregate with explicit row frame "
+        "(rowsBetween(-6, 0)) — the frame machinery behind forward-fill "
+        "and run-length masks (SURVEY §2.5; qld_data_parser.py:197-208).",
+)
+def rolling_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return (
+        ev.withColumn("roll_avg", F.avg("value").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.max("roll_avg"), 6).alias("max_roll_avg"),
+        )
+        .where(F.col("n_rows") > 50)
+    )
+
+
+@register(
+    "tumbling_window_counts",
+    sql="""
+    SELECT date_trunc('day', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling time window (1-day pane) per event class — Spark "
+        "F.window(); the reference's month-aligned download panes "
+        "(aims_realtime_util.py:300-350; Grouper(freq='M') batching).",
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "explode_word_counts",
+    sql="""
+    WITH words AS (
+        SELECT lower(unnest(string_split_regex(trim(text), '\\s+'))) AS word
+        FROM documents
+        WHERE lang = 'en'
+    )
+    SELECT word, count(*) AS n
+    FROM words
+    WHERE length(word) >= 6
+    GROUP BY word
+    HAVING count(*) >= 20
+    """,
+    doc="Table-generating transform (UDTF-like, SURVEY §2.10): text -> "
+        "exploded word rows -> frequency table; the RSS->rows / "
+        "filename->fields explode pattern (parse_aims_xml, "
+        "IMOSfilename.py:137-245) on the documents payload.",
+)
+def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("lang") == "en")
+        .select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw")
+        )
+        .select(F.lower(F.col("raw")).alias("word"))
+        .where(F.length("word") >= 6)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 20)
+    )
+
+
+@register(
+    "pivot_event_matrix",
+    sql="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'view') AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) > 80
+    """,
+    doc="Pivot / conditional-aggregation matrix: one column per event "
+        "class via groupBy().pivot() — the conditional-agg idiom "
+        "sum((file_version='0')::int) of anmn_deployments_view.sql:6-33 "
+        "generalised to a matrix.",
+)
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "error"]
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+    total = ev.groupBy("user_id").agg(F.count("*").alias("_n"))
+    return (
+        pivoted.join(total, "user_id")
+        .where(F.col("_n") > 80)
+        .drop("_n")
+    )
+
+
+@register(
+    "value_percentiles",
+    sql="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           round(stddev_samp(value), 6) AS sd
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Exact percentiles + stddev per group (Spark 4 F.percentile; "
+        "DuckDB quantile_cont) — the latency/size distribution queries a "
+        "metrics table needs; reference only had min/max/avg "
+        "(aims_realtime_util.py:709-724), engine metrics go further.",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+    )
+
+
+@register(
+    "reconciliation_3way",
+    sql="""
+    WITH ev AS (
+        SELECT DISTINCT user_id FROM events
+    ), cust AS (
+        SELECT c_custkey FROM customer
+    )
+    SELECT
+        (SELECT count(*) FROM ev) AS n_source_users,
+        (SELECT count(*) FROM cust) AS n_target_keys,
+        (SELECT count(*) FROM ev JOIN cust ON user_id = c_custkey)
+            AS n_matched,
+        (SELECT count(*) FROM ev WHERE user_id NOT IN
+            (SELECT c_custkey FROM cust)) AS n_missing_in_target,
+        (SELECT count(*) FROM cust WHERE c_custkey NOT IN
+            (SELECT user_id FROM ev)) AS n_extra_in_target
+    """,
+    doc="3-way source/target reconciliation (semi + anti joins, counts "
+        "agree) — the error-dir vs DB diff report of hfradar.sh:98-204 as "
+        "one query: matched, missing-in-target, extra-in-target.",
+)
+def reconciliation_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE distributed plan: full-outer join on the key, then a single
+    # aggregate classifies every key as matched / missing / extra — no
+    # driver-side count loop, one shuffle (plus AQE broadcast if one side
+    # is small).
+    ev = load(spark, sf_dir, "events").select("user_id").distinct()
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    joined = ev.join(cust, ev.user_id == cust.c_custkey, "full_outer")
+    return joined.agg(
+        F.count("user_id").alias("n_source_users"),
+        F.count("c_custkey").alias("n_target_keys"),
+        F.count(F.when(F.col("user_id").isNotNull()
+                       & F.col("c_custkey").isNotNull(), 1)).alias("n_matched"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_missing_in_target"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("n_extra_in_target"),
+    )

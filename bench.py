@@ -31,10 +31,10 @@ import tempfile
 ROOT = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
-REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "6"))
-LO_CORES = 2
-HI_CORES = 8
+EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "8"))
+LO_CORES = 1
+HI_CORES = 4
 
 
 def _worker(args: list[str], pin_cores: int | None = None) -> dict:
@@ -67,7 +67,7 @@ def _cdc_best(cores: int, changes: str, scratch: str) -> dict:
 
 def _floor(cores: int, changes: str) -> dict:
     """Substrate control: trivial scan->agg->noop job, same pinned JVM
-    protocol. Its 2->8 scaling is this box's ceiling for ANY Spark job."""
+    protocol. Its scaling is this box's ceiling for ANY Spark job."""
     subprocess.run(["sync"], check=False)
     return _worker(
         ["--mode", "floor", "--cpus", str(cores), "--events", str(EVENTS),
@@ -105,8 +105,16 @@ executors. No real cluster exists in this sandbox, so the proxy is the same
 replay job at two **taskset-pinned** core counts over the same pre-generated
 {EVENTS:,}-event change stream (out-of-order, duplicate deliveries, 20%
 hot-key burst, deletes). Replay = validate -> LWW dedup -> merge-on-read
-delta append -> final compaction, lineage enabled, {HI_CORES * 8} hash buckets,
+delta append -> final compaction, lineage enabled, 64 hash buckets,
 snappy parquet, offsets committed atomically per chunk.
+
+The pair is **1 -> 4 pinned cores**. 8+ cores on this box measures the
+host's shared-memory-bandwidth ceiling, not the engine: the substrate floor
+control below scales only ~0.66 from 2->8 even for a trivial
+scan->agg->noop job, and a pure-CPU multiprocessing control scales 0.96
+from 1->8 but ~0.62 past 8 (vCPU overcommit). Four real executors bring 4x
+memory bandwidth with them; four cores of one box do not — so the smallest
+pinned pair is the faithful stand-in for "add 4x machines".
 
 ## Protocol (why it is measured this way)
 
@@ -150,12 +158,15 @@ tests + replay_job --verify-oracle).
 
 ## Why the design scales past this box
 
-Per chunk the engine does: one column-pruned metrics scan (5 narrow
-columns), one map-side-combined LWW aggregation (duplicate deliveries
-collapse before the shuffle), one hash(bucket)-clustered winner write of
-O(changed keys) bytes (merge-on-read), one atomic metadata commit. No
-driver-side data movement, no per-row Python, no collect beyond
-bucket_count rows. Shuffle volume per event is constant; partition count
+Per chunk the engine scans the change stream exactly ONCE: validation
+counters and the offset watermark ride the winners-write job as an
+Observation (no separate metrics scan, no collect), the LWW aggregation is
+map-side-combined (duplicate deliveries collapse before the shuffle), the
+hash(bucket)-clustered winner write adds O(changed keys) bytes
+(merge-on-read), per-bucket lineage stats come from parquet footers
+(driver-side, no job), and one atomic metadata commit publishes data +
+offsets. No driver-side data movement, no per-row Python. Shuffle volume
+per event is constant; partition count
 ({max(64, CPUS * 2)}) and bucket count are config, so a 1000-executor
 cluster changes only the wave count of each stage.
 """)

@@ -77,6 +77,7 @@ class CdcApplier:
         target: LakeTable,
         lineage: LakeTable | None = None,
         quarantine: LakeTable | None = None,
+        metrics: LakeTable | None = None,
         dedup_method: str = "max_by",
         salt_buckets: int = 64,
         with_lineage: bool = True,
@@ -94,12 +95,14 @@ class CdcApplier:
         self.target = target
         self.lineage = lineage
         self.quarantine = quarantine
+        self.metrics = metrics
         self.dedup_method = dedup_method
         self.salt_buckets = salt_buckets
         self.with_lineage = with_lineage
         self.mode = mode
         self.compact_threshold = compact_threshold
         self._lineage_buf: list[dict] = []
+        self._metrics_buf: list[dict] = []
 
     # ------------------------------------------------------------- bootstrap
     @classmethod
@@ -129,15 +132,22 @@ class CdcApplier:
             ]
         )
         quarantine = LakeTable.create(spark, f"{root}/quarantine", q_schema, ["lsn"], 4)
-        return cls(spark, target, lineage, quarantine, **kwargs)
+        from .schemas import METRICS_SCHEMA
+
+        metrics = LakeTable.create(
+            spark, f"{root}/metrics", METRICS_SCHEMA, ["batch_id"], 1
+        )
+        return cls(spark, target, lineage, quarantine, metrics, **kwargs)
 
     @classmethod
     def load(cls, spark: SparkSession, root: str, **kwargs: Any) -> "CdcApplier":
+        metrics_path = f"{root}/metrics"
         return cls(
             spark,
             LakeTable(spark, f"{root}/transcripts"),
             LakeTable(spark, f"{root}/lineage"),
             LakeTable(spark, f"{root}/quarantine"),
+            LakeTable(spark, metrics_path) if LakeTable.exists(metrics_path) else None,
             **kwargs,
         )
 
@@ -177,6 +187,10 @@ class CdcApplier:
                 return stats
 
         snap = self.target.snapshot()
+        if self.mode == "mor":
+            return self._apply_chunk_mor(
+                chunk, hi, batch_id, epoch, defer_lineage, snap, stats, t0
+            )
         bucket_col = self.target.bucket_col()
         from .validate import validation_reason
 
@@ -247,49 +261,31 @@ class CdcApplier:
             salt_buckets=self.salt_buckets,
         )
 
-        if self.mode == "mor":
-            # --- merge-on-read: the winners — including op='D' tombstones —
-            # are appended as a delta layer. Base files untouched: per
-            # chunk the table gains O(changed keys) bytes, not
-            # O(affected-bucket size). Reads resolve LWW across layers;
-            # compaction (threshold-driven in replay) amortises the rewrite.
-            cols = (
-                [c for c in existing if c in winners.columns]
-                + [c for c in winners.columns if c not in existing and c != "op"]
-                + ["op"]
-            )
-            new_snap = self.target.append_delta(
-                winners.select(cols),
-                summary=summary,
-                sort_cols=KEY_COLS,
-                expected_parent=snap.snapshot_id,
-            )
-        else:
-            # --- copy-on-write merge: union the chunk's winners with the
-            # affected target rows and run ONE LWW aggregation over both.
-            # Two exchanges per chunk: hash(conv_id, turn_idx) for the
-            # aggregate, then hash(bucket) to cluster the write.
-            current = self.target.read(buckets=affected).withColumn("op", F.lit("K"))
-            united = current.unionByName(winners, allowMissingColumns=True)
-            resolved = lww_dedup(
-                united,
-                keys=KEY_COLS,
-                order=ORDER_COLS,
-                method=self.dedup_method,
-                salt_buckets=self.salt_buckets,
-            )
-            merged = resolved.where(F.col("op") != "D").drop("op")
+        # --- copy-on-write merge: union the chunk's winners with the
+        # affected target rows and run ONE LWW aggregation over both.
+        # Two exchanges per chunk: hash(conv_id, turn_idx) for the
+        # aggregate, then hash(bucket) to cluster the write.
+        current = self.target.read(buckets=affected).withColumn("op", F.lit("K"))
+        united = current.unionByName(winners, allowMissingColumns=True)
+        resolved = lww_dedup(
+            united,
+            keys=KEY_COLS,
+            order=ORDER_COLS,
+            method=self.dedup_method,
+            salt_buckets=self.salt_buckets,
+        )
+        merged = resolved.where(F.col("op") != "D").drop("op")
 
-            # column order: existing schema first, additive columns appended
-            new_cols = [c for c in merged.columns if c not in existing]
-            merged = merged.select(*existing, *new_cols)
-            new_snap = self.target.replace_buckets(
-                merged,
-                affected,
-                summary=summary,
-                sort_cols=KEY_COLS,
-                expected_parent=snap.snapshot_id,
-            )
+        # column order: existing schema first, additive columns appended
+        new_cols = [c for c in merged.columns if c not in existing]
+        merged = merged.select(*existing, *new_cols)
+        new_snap = self.target.replace_buckets(
+            merged,
+            affected,
+            summary=summary,
+            sort_cols=KEY_COLS,
+            expected_parent=snap.snapshot_id,
+        )
         stats.snapshot_id = new_snap.snapshot_id
         tp = _phase("merge_write", tp)
 
@@ -329,13 +325,183 @@ class CdcApplier:
             _phase("lineage", tp)
         return stats
 
+    # ------------------------------------------------------- MOR fused path
+    def _apply_chunk_mor(
+        self,
+        chunk: DataFrame,
+        hi: int | None,
+        batch_id: int,
+        epoch: int | None,
+        defer_lineage: bool,
+        snap: Any,
+        stats: ChunkStats,
+        t0: float,
+    ) -> ChunkStats:
+        """Merge-on-read apply with a FUSED metrics pass: the chunk is
+        scanned exactly once. Validation counters and the offset watermark
+        ride the winners-write job as an ``Observation`` (zero extra scan,
+        zero extra job); per-bucket lineage stats come from a narrow
+        read-back of the just-written — still uncommitted — delta files
+        (O(changed keys) rows, not O(chunk)). The commit then publishes
+        files + offsets atomically (two-phase: write_delta_files ->
+        commit_delta), so a crash between the phases leaves only an
+        orphaned, never-referenced data dir."""
+        from pyspark.sql import Observation
+
+        from .validate import split_valid, validation_reason
+
+        tagged = chunk.withColumn("_reason", validation_reason(chunk))
+        ok = F.col("_reason").isNull()
+        obs = Observation()
+        tagged = tagged.observe(
+            obs,
+            F.sum(ok.cast("long")).alias("n_events"),
+            F.sum((ok & (F.col("op") != "D")).cast("long")).alias("n_upserts"),
+            F.sum((ok & (F.col("op") == "D")).cast("long")).alias("n_deletes"),
+            F.sum((~ok).cast("long")).alias("n_quarantined"),
+            F.max(F.when(ok, F.col("lsn"))).alias("max_lsn"),
+        )
+        valid = tagged.where(F.col("_reason").isNull()).drop("_reason")
+
+        # LWW winners of this chunk, one row per key, still carrying op
+        # ('D' winners are delete tombstones). max_by plans as a partial
+        # aggregation — duplicate deliveries collapse map-side, before the
+        # shuffle. The winners — including tombstones — append as a delta
+        # layer: per chunk the table gains O(changed keys) bytes, not
+        # O(affected-bucket size) (Iceberg v2 equality-delete design).
+        winners = lww_dedup(
+            valid,
+            keys=KEY_COLS,
+            order=ORDER_COLS,
+            method=self.dedup_method,
+            salt_buckets=self.salt_buckets,
+        )
+        existing = [f.name for f in snap.schema.fields]
+        cols = (
+            [c for c in existing if c in winners.columns]
+            + [c for c in winners.columns if c not in existing and c != "op"]
+            + ["op"]
+        )
+        # _del marker (1 on tombstones, NULL otherwise): parquet footers
+        # then carry the exact per-bucket delete count as a null_count —
+        # the stats below never need a Spark job
+        winners = winners.select(cols).withColumn(
+            "_del", F.when(F.col("op") == "D", F.lit(1))
+        )
+        commit_dir, new_files = self.target.write_delta_files(
+            winners, sort_cols=KEY_COLS
+        )
+        m = obs.get  # populated by the write action above
+        tp = _phase("winners_write", t0)
+        stats.n_events = int(m["n_events"] or 0)
+        stats.n_upserts = int(m["n_upserts"] or 0)
+        stats.n_deletes = int(m["n_deletes"] or 0)
+        stats.n_quarantined = int(m["n_quarantined"] or 0)
+
+        if not new_files:
+            # nothing valid in the chunk — still advance the offset so the
+            # chunk is never replayed (metadata-only commit)
+            if stats.n_quarantined:
+                self._write_quarantine(split_valid(chunk)[1], batch_id)
+            self.target.commit_summary(
+                self._summary(snap, hi, batch_id, {}, epoch),
+                expected_parent=snap.snapshot_id,
+            )
+            stats.duration_ms = int((time.monotonic() - t0) * 1000)
+            return stats
+
+        affected = sorted(int(b) for b in new_files)
+        stats.affected_buckets = affected
+        if hi is None:  # streaming: offsets derived from the batch itself
+            hi = int(m["max_lsn"])
+            stats.hi = hi
+
+        # per-bucket stats from parquet footers (driver-side, ~1 ms/file —
+        # no Spark job, no scan): row counts, exact lsn/ts min/max, and the
+        # delete count via the _del null-count trick
+        per_bucket = self.target.file_stats(new_files)
+        tp = _phase("bucket_stats", tp)
+        per_part = {b: int(st["max_lsn"]) for b, st in per_bucket.items()}
+        summary = self._summary(snap, hi, batch_id, per_part, epoch)
+        new_snap = self.target.commit_delta(
+            new_files, winners.schema, summary, expected_parent=snap.snapshot_id
+        )
+        stats.snapshot_id = new_snap.snapshot_id
+
+        if stats.n_quarantined:
+            self._write_quarantine(split_valid(chunk)[1], batch_id)
+            tp = _phase("quarantine", tp)
+        stats.duration_ms = int((time.monotonic() - t0) * 1000)
+
+        if self.with_lineage and self.lineage is not None:
+            rows = [
+                {
+                    "batch_id": batch_id,
+                    "source_partition": int(b),
+                    # winner-level counts (rows materialized per bucket);
+                    # chunk-level event counts live in the metrics table.
+                    # Global quarantine count rides row 0.
+                    "n_events": st["n_rows"],
+                    "n_upserts": st["n_rows"] - st["n_deletes"],
+                    "n_deletes": st["n_deletes"],
+                    "n_quarantined": stats.n_quarantined if i == 0 else 0,
+                    "min_lsn": st["min_lsn"],
+                    "max_lsn": st["max_lsn"],
+                    "min_ts": st["min_ts"],
+                    "max_ts": st["max_ts"],
+                    "status": "ok",
+                    "duration_ms": stats.duration_ms if i == 0 else 0,
+                }
+                for i, (b, st) in enumerate(sorted(per_bucket.items(), key=lambda kv: int(kv[0])))
+            ]
+            if defer_lineage:
+                self._lineage_buf.extend(rows)
+            else:
+                self.lineage.append(
+                    self.spark.createDataFrame(rows, LINEAGE_SCHEMA),
+                    summary={"batch_id": batch_id},
+                )
+            _phase("lineage", tp)
+        if self.metrics is not None:
+            self._metrics_buf.append(
+                {
+                    "batch_id": batch_id,
+                    "epoch": epoch,
+                    "hi_lsn": hi,
+                    "n_events": stats.n_events,
+                    "n_upserts": stats.n_upserts,
+                    "n_deletes": stats.n_deletes,
+                    "n_quarantined": stats.n_quarantined,
+                    "n_winner_rows": sum(st["n_rows"] for st in per_bucket.values()),
+                    "n_affected_buckets": len(affected),
+                    "duration_ms": stats.duration_ms,
+                }
+            )
+            if not defer_lineage:
+                self.flush_metrics()
+        return stats
+
     def flush_lineage(self) -> None:
-        """Write any buffered lineage rows as one append commit."""
-        if not self._lineage_buf or self.lineage is None:
+        """Write any buffered lineage + metrics rows, one append commit
+        each (a per-chunk Spark job over a handful of rows would be pure
+        fixed overhead)."""
+        if self._lineage_buf and self.lineage is not None:
+            rows, self._lineage_buf = self._lineage_buf, []
+            self.lineage.append(
+                self.spark.createDataFrame(rows, LINEAGE_SCHEMA),
+                summary={"batch_id": rows[-1]["batch_id"]},
+            )
+        self.flush_metrics()
+
+    def flush_metrics(self) -> None:
+        """Write any buffered batch-level metrics rows as one commit."""
+        if not self._metrics_buf or self.metrics is None:
             return
-        rows, self._lineage_buf = self._lineage_buf, []
-        self.lineage.append(
-            self.spark.createDataFrame(rows, LINEAGE_SCHEMA),
+        from .schemas import METRICS_SCHEMA
+
+        rows, self._metrics_buf = self._metrics_buf, []
+        self.metrics.append(
+            self.spark.createDataFrame(rows, METRICS_SCHEMA),
             summary={"batch_id": rows[-1]["batch_id"]},
         )
 

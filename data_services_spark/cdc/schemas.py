@@ -49,6 +49,23 @@ CHANGES_SCHEMA = T.StructType(
 # additive-evolution columns appearing mid-stream (FIXTURES.md F3)
 EVOLUTION_COLS = ["tool_call_id", "metadata_json"]
 
+# batch-level operational counters (one row per applied chunk/epoch),
+# populated from the apply job's Observation — no extra scans
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType(), False),
+        T.StructField("epoch", T.LongType(), True),
+        T.StructField("hi_lsn", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("n_upserts", T.LongType(), True),
+        T.StructField("n_deletes", T.LongType(), True),
+        T.StructField("n_quarantined", T.LongType(), True),
+        T.StructField("n_winner_rows", T.LongType(), True),
+        T.StructField("n_affected_buckets", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
 LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("batch_id", T.LongType(), False),

@@ -106,7 +106,7 @@ def main(argv: list[str] | None = None) -> int:
             # spikes; the first reps are JIT-dominated and never count)
             if rep >= 3:
                 prior_best = min(reps[:-2])
-                if min(reps[-2:]) >= prior_best * 0.90:
+                if min(reps[-2:]) >= prior_best * 0.95:
                     break
         best["rep_walls"] = reps
         print(json.dumps(best))
@@ -135,7 +135,7 @@ def main(argv: list[str] | None = None) -> int:
             t0 = time.monotonic()
             plan.write.format("noop").mode("overwrite").save()
             walls.append(round(time.monotonic() - t0, 3))
-            if rep >= 3 and min(walls[-2:]) >= min(walls[:-2]) * 0.90:
+            if rep >= 3 and min(walls[-2:]) >= min(walls[:-2]) * 0.95:
                 break
         best = min(walls)
         print(json.dumps({

@@ -46,6 +46,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="leave the table fully read-optimised after replay")
     ap.add_argument("--cpus", type=int, default=None, help="local[N] (local mode only)")
     ap.add_argument("--no-lineage", action="store_true")
+    ap.add_argument("--report", action="store_true",
+                    help="after replay, print the reporting-view cascade "
+                         "(per-batch rollup, partition health, throughput)")
     ap.add_argument("--verify-oracle", action="store_true",
                     help="after replay, compare final state vs DuckDB oracle (needs --changes)")
     args = ap.parse_args(argv)
@@ -96,6 +99,23 @@ def main(argv: list[str] | None = None) -> int:
             "duration_ms": s.duration_ms,
             "affected_buckets": len(s.affected_buckets),
         }))
+
+    if args.report and not args.no_lineage:
+        from data_services_spark.plans.reports import register_report_views
+
+        register_report_views(
+            spark,
+            applier.lineage.read(),
+            applier.quarantine.read(),
+            applier.metrics.read() if applier.metrics is not None else None,
+        )
+        for view in ("cdc_batches", "cdc_partition_health", "cdc_throughput"):
+            try:
+                rows = [r.asDict() for r in spark.sql(
+                    f"SELECT * FROM {view} ORDER BY 1").collect()]
+            except Exception:
+                continue
+            print(json.dumps({"view": view, "rows": rows}, default=str))
 
     summary = {
         "chunks": len(stats),

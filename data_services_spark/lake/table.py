@@ -479,6 +479,50 @@ class LakeTable:
             delta_files=deltas,
         )
 
+    def write_delta_files(
+        self,
+        df: DataFrame,
+        sort_cols: list[str] | None = None,
+    ) -> tuple[str, dict[str, list[str]]]:
+        """Phase 1 of a merge-on-read upsert: write ``df`` (pre-deduped
+        winner rows with an ``op`` tombstone column) as uncommitted delta
+        files. Returns ``(commit_dir_abs, bucket -> relative files)``; the
+        files are invisible until :meth:`commit_delta` publishes them, so
+        the caller may inspect them (e.g. per-bucket stats for lineage /
+        offset watermarks) BEFORE deciding the commit summary — two-phase
+        commit, crash-safe: an orphaned phase-1 dir is never referenced by
+        any snapshot and is swept by ``expire_snapshots``."""
+        snap = self.snapshot()
+        token = f"d{snap.snapshot_id + 1}-{uuid.uuid4().hex[:12]}"
+        new_files = self._write_data_files(self._with_bucket(df), token, sort_cols)
+        return os.path.join(self.path, _DATA_DIR, token), new_files
+
+    def commit_delta(
+        self,
+        new_files: dict[str, list[str]],
+        df_schema: T.StructType,
+        summary: dict[str, Any] | None = None,
+        expected_parent: int | None = None,
+    ) -> Snapshot:
+        """Phase 2: publish delta files from :meth:`write_delta_files` as a
+        new delta layer on their buckets (atomic snapshot flip)."""
+        snap = self.snapshot()
+        deltas = dict(snap.delta_files)
+        for b, fs in new_files.items():
+            deltas[b] = deltas.get(b, []) + fs
+        # 'op' (tombstone marker) and '_'-prefixed helper columns (e.g. the
+        # _del stats column) are delta-file internals, not table schema
+        visible = T.StructType(
+            [f for f in df_schema.fields
+             if f.name != "op" and not f.name.startswith("_")]
+        )
+        schema = self._evolve_schema(snap.schema, visible)
+        return self._commit(
+            "delta-append", {}, snap.bucket_files, schema, summary or {},
+            expected_parent if expected_parent is not None else snap.snapshot_id,
+            delta_files=deltas,
+        )
+
     def append_delta(
         self,
         df: DataFrame,
@@ -492,19 +536,50 @@ class LakeTable:
         Base files are untouched; ``read`` resolves, ``compact`` amortises.
         This is the Iceberg v2 equality-delete write path: per batch the
         table gains O(changed keys) bytes, not O(bucket size)."""
-        snap = self.snapshot()
-        token = f"d{snap.snapshot_id + 1}-{uuid.uuid4().hex[:12]}"
-        new_files = self._write_data_files(self._with_bucket(df), token, sort_cols)
-        deltas = dict(snap.delta_files)
-        for b, fs in new_files.items():
-            deltas[b] = deltas.get(b, []) + fs
-        visible = T.StructType([f for f in df.schema.fields if f.name != "op"])
-        schema = self._evolve_schema(snap.schema, visible)
-        return self._commit(
-            "delta-append", {}, snap.bucket_files, schema, summary or {},
-            expected_parent if expected_parent is not None else snap.snapshot_id,
-            delta_files=deltas,
-        )
+        _, new_files = self.write_delta_files(df, sort_cols)
+        return self.commit_delta(new_files, df.schema, summary, expected_parent)
+
+    def file_stats(
+        self, files_by_bucket: dict[str, list[str]]
+    ) -> dict[str, dict[str, Any]]:
+        """Per-bucket stats straight from parquet footers — row counts and
+        exact INT64/timestamp column min/max/null-count, no Spark job. The
+        apply loop writes a ``_del`` marker column (1 on tombstones, NULL
+        otherwise) into delta files, so ``num_rows - null_count(_del)``
+        is the exact delete count per bucket. Requires
+        ``spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`` (set in
+        session.py) — legacy INT96 timestamps carry no usable stats."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict[str, Any]] = {}
+        for b, rels in files_by_bucket.items():
+            agg: dict[str, Any] = {
+                "n_rows": 0, "n_deletes": 0,
+                "min_lsn": None, "max_lsn": None,
+                "min_ts": None, "max_ts": None,
+            }
+            for rel in rels:
+                md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+                agg["n_rows"] += md.num_rows
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    if "lsn" in idx:
+                        st = row_group.column(idx["lsn"]).statistics
+                        if st is not None and st.has_min_max:
+                            agg["min_lsn"] = st.min if agg["min_lsn"] is None else min(agg["min_lsn"], st.min)
+                            agg["max_lsn"] = st.max if agg["max_lsn"] is None else max(agg["max_lsn"], st.max)
+                    if "ts" in idx:
+                        st = row_group.column(idx["ts"]).statistics
+                        if st is not None and st.has_min_max:
+                            agg["min_ts"] = st.min if agg["min_ts"] is None else min(agg["min_ts"], st.min)
+                            agg["max_ts"] = st.max if agg["max_ts"] is None else max(agg["max_ts"], st.max)
+                    if "_del" in idx:
+                        st = row_group.column(idx["_del"]).statistics
+                        if st is not None:
+                            agg["n_deletes"] += row_group.column(idx["_del"]).num_values if st.null_count is None else (row_group.num_rows - st.null_count)
+            out[b] = agg
+        return out
 
     def compact(
         self,

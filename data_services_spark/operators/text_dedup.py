@@ -217,12 +217,25 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
         F.array_distinct(tokens(F.col(text_col))).alias("_w"),
-    )
+    ).withColumn("_sz", F.size("_w"))
     a = t.alias("a")
     b = t.alias("b")
     jac = F.size(F.array_intersect("a._w", "b._w")) / F.size(F.array_union("a._w", "b._w"))
+    # size-bound prefilter (exact): J >= t implies min(|A|,|B|)/max >= t,
+    # so the length-ratio test prunes pairs BEFORE the array_intersect —
+    # the join emits only ratio-compatible pairs
+    # epsilon slack so float representation of the threshold can never
+    # exclude an exactly-on-the-boundary pair
+    ratio_ok = F.least("a._sz", "b._sz").cast("double") >= (
+        F.greatest("a._sz", "b._sz") * F.lit(threshold) - F.lit(1e-9)
+    )
     return (
-        a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")))
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._id") < F.col("b._id"))
+            & ratio_ok,
+        )
         .withColumn("jaccard", F.round(jac.cast("double"), 6))
         .where(F.col("jaccard") >= threshold)
         .select(

@@ -85,10 +85,38 @@ def quarantine_summary(quarantine: DataFrame) -> DataFrame:
     )
 
 
-def register_report_views(spark: SparkSession, lineage: DataFrame, quarantine: DataFrame) -> None:
+def throughput_view(metrics: DataFrame) -> DataFrame:
+    """AVG + derived-rate rollup over the batch-level metrics table (mean
+    processing-time shape, reports/anmn_all_deployments_with_data.sql:1-9):
+    per-batch events/sec plus running totals."""
+    return metrics.select(
+        "batch_id",
+        "epoch",
+        "n_events",
+        "n_winner_rows",
+        "n_affected_buckets",
+        "duration_ms",
+        F.round(
+            F.col("n_events") * 1000.0 / F.greatest("duration_ms", F.lit(1)), 1
+        ).alias("events_per_sec"),
+        F.round(
+            100.0 * F.col("n_winner_rows") / F.greatest("n_events", F.lit(1)), 2
+        ).alias("pct_effective"),
+    )
+
+
+def register_report_views(
+    spark: SparkSession,
+    lineage: DataFrame,
+    quarantine: DataFrame,
+    metrics: DataFrame | None = None,
+) -> None:
     """Expose the cascade as Spark SQL views (CREATE VIEW analogue)."""
     lineage.createOrReplaceTempView("cdc_lineage")
     quarantine.createOrReplaceTempView("cdc_quarantine")
     batches_view(lineage).createOrReplaceTempView("cdc_batches")
     partition_health_view(lineage).createOrReplaceTempView("cdc_partition_health")
     quarantine_summary(quarantine).createOrReplaceTempView("cdc_quarantine_summary")
+    if metrics is not None:
+        metrics.createOrReplaceTempView("cdc_metrics")
+        throughput_view(metrics).createOrReplaceTempView("cdc_throughput")

@@ -45,6 +45,9 @@ def get_spark(
         # zstd via env for storage-bound clusters where IO dominates
         .config("spark.sql.parquet.compression.codec",
                 os.environ.get("SPARK_GRAFT_CODEC", "snappy"))
+        # INT64 micros (not legacy INT96): footer min/max stats stay usable,
+        # which the lineage fast path reads instead of running stat jobs
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

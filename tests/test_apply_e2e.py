@@ -152,3 +152,72 @@ def test_salted_dedup_end_to_end(spark, changes_path, tmp_path):
         _final_state(applier), expected_final_state(changes_path)
     )
     assert ok, msg
+
+
+def test_metrics_table_and_footer_lineage(spark, changes_path, tmp_path):
+    """Batch-level metrics (from the apply job's Observation) and per-bucket
+    lineage (from parquet footer stats incl. the _del null-count trick) must
+    agree with ground truth computed independently from the change stream."""
+    applier = CdcApplier.bootstrap(spark, str(tmp_path / "lake"), bucket_count=8)
+    changes = spark.read.parquet(changes_path)
+    stats = applier.replay(changes, chunk_size=4000)
+
+    met = applier.metrics.read().toPandas().sort_values("batch_id")
+    assert len(met) == len([s for s in stats if not s.skipped])
+    # metrics event counts == ChunkStats == per-chunk valid-event truth
+    assert met["n_events"].sum() == sum(s.n_events for s in stats)
+    assert met["n_quarantined"].sum() == applier.quarantine.read().count()
+
+    # lineage winner-level counts: per batch, winners == distinct valid keys
+    lin = applier.lineage.read().toPandas()
+    from data_services_spark.cdc.validate import split_valid
+
+    valid, _ = split_valid(changes)
+    for s in stats:
+        truth = (
+            valid.where((F.col("lsn") > s.lo) & (F.col("lsn") <= s.hi))
+            .select("conv_id", "turn_idx").distinct().count()
+        )
+        got = int(lin[lin.batch_id == s.batch_id]["n_events"].sum())
+        assert got == truth, (s.batch_id, got, truth)
+    # per-bucket delete counts (footer null-count) sum to winner-level
+    # tombstones: every batch's deletes <= its delete events
+    assert (lin.groupby("batch_id")["n_deletes"].sum()
+            <= met.set_index("batch_id")["n_deletes"]).all()
+    # watermarks: per-batch max_lsn never exceeds the chunk hi
+    for s in stats:
+        sub = lin[lin.batch_id == s.batch_id]
+        assert (sub["max_lsn"] <= s.hi).all()
+
+
+def test_report_view_cascade(spark, changes_path, tmp_path):
+    """The reporting cascade (ANMN view-stack shapes) over a real replay's
+    lineage/quarantine/metrics: registers as SQL views, shapes sane."""
+    from data_services_spark.plans.reports import (
+        register_report_views,
+        stale_partitions_report,
+    )
+
+    applier = CdcApplier.bootstrap(spark, str(tmp_path / "lake"), bucket_count=8)
+    changes = spark.read.parquet(changes_path)
+    stats = applier.replay(changes, chunk_size=3000)
+
+    register_report_views(
+        spark,
+        applier.lineage.read(),
+        applier.quarantine.read(),
+        applier.metrics.read(),
+    )
+    batches = spark.sql(
+        "SELECT * FROM cdc_batches ORDER BY batch_id"
+    ).toPandas()
+    assert len(batches) == len([s for s in stats if not s.skipped])
+    health = spark.sql("SELECT * FROM cdc_partition_health").toPandas()
+    assert (health["watermark_lsn"] > 0).all()
+    thr = spark.sql("SELECT * FROM cdc_throughput").toPandas()
+    assert (thr["events_per_sec"] > 0).all()
+    quar = spark.sql("SELECT * FROM cdc_quarantine_summary").toPandas()
+    assert quar["n_events"].sum() == applier.quarantine.read().count()
+    # HAVING report: with a fully caught-up replay nothing should lag
+    stale = stale_partitions_report(applier.lineage.read(), lag_threshold=3000)
+    assert stale.count() == 0

@@ -1,0 +1,73 @@
+"""CLI entrypoint: lake-table maintenance (compaction + snapshot expiry).
+
+The reference expires temp manifest state after 15 days
+(``lib/python/aims_realtime_util.py:1056-1086``) and relies on S3 object
+versions for history (``lib/common/s3.sh:55-80``); the engine's analogues
+are merge-on-read compaction (fold delta layers into base files) and
+snapshot expiry (drop old manifests + sweep unreferenced data dirs).
+
+    spark-submit --py-files dist/data_services_spark.zip \
+        data_services_spark/jobs/maintain_job.py \
+        --root /path/to/lake --compact --expire-keep 5
+
+Prints one JSON line per table maintained.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+TABLES = ["transcripts", "lineage", "quarantine", "metrics"]
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--root", required=True, help="lake root directory")
+    ap.add_argument("--tables", default="transcripts",
+                    help=f"comma-sep subset of {TABLES} (default transcripts)")
+    ap.add_argument("--compact", action="store_true",
+                    help="fold merge-on-read delta layers into base files")
+    ap.add_argument("--compact-min-layers", type=int, default=1,
+                    help="only compact buckets with at least this many delta layers")
+    ap.add_argument("--expire-keep", type=int, default=0,
+                    help="expire all but the last N snapshots (0 = don't expire)")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    # absolute imports: spark-submit executes this file as a top-level script
+    from data_services_spark.lake.table import LakeTable
+    from data_services_spark.session import get_spark
+
+    spark = get_spark("maintain_job", cpus=args.cpus)
+
+    for name in [t for t in args.tables.split(",") if t]:
+        path = f"{args.root}/{name}"
+        if not LakeTable.exists(path):
+            print(json.dumps({"table": name, "error": "not found"}))
+            continue
+        t0 = time.monotonic()
+        table = LakeTable(spark, path)
+        out = {"table": name, "snapshot_before": table.current_snapshot_id()}
+        if args.compact:
+            snap = table.snapshot()
+            targets = [
+                b for b in snap.delta_buckets()
+                if len(snap.delta_files.get(str(b), [])) >= args.compact_min_layers
+            ]
+            out["compacted_buckets"] = len(targets)
+            if targets:
+                table.compact(buckets=targets)
+        if args.expire_keep > 0:
+            expired = table.expire_snapshots(keep_last=args.expire_keep)
+            out["expired_snapshots"] = len(expired)
+        out["snapshot_after"] = table.current_snapshot_id()
+        out["wall_sec"] = round(time.monotonic() - t0, 3)
+        print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

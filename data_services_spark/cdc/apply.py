@@ -388,8 +388,13 @@ class CdcApplier:
         winners = winners.select(cols).withColumn(
             "_del", F.when(F.col("op") == "D", F.lit(1))
         )
+        # the LWW aggregation hash-partitions on the merge keys; when the
+        # table's buckets use the same murmur3 hash (co_partitioned_write_ok)
+        # the winners are ALREADY clustered by bucket and the write skips
+        # its repartition — one full-payload shuffle per chunk, not two
         commit_dir, new_files = self.target.write_delta_files(
-            winners, sort_cols=KEY_COLS
+            winners, sort_cols=KEY_COLS,
+            pre_partitioned=self.target.co_partitioned_write_ok(KEY_COLS),
         )
         m = obs.get  # populated by the write action above
         tp = _phase("winners_write", t0)

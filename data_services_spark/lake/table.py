@@ -133,14 +133,27 @@ class Snapshot:
     def delta_buckets(self) -> list[int]:
         return sorted(int(b) for b, fs in self.delta_files.items() if fs)
 
+    @property
+    def bucket_fn(self) -> str:
+        # tables created before the murmur3 default carry no prop -> xxhash64
+        return self.props.get("bucket_fn", "xxhash64")
 
-def _bucket_expr(bucket_keys: list[str], bucket_count: int) -> F.Column:
+
+def _bucket_expr(
+    bucket_keys: list[str], bucket_count: int, fn: str = "murmur3"
+) -> F.Column:
     """Stable hash bucket id for a row — Iceberg ``bucket(N, keys)`` analogue.
 
-    xxhash64 is a fixed, documented Spark function (seed 42), so bucket
-    assignment is stable across sessions/clusters.
+    ``murmur3`` (default for new tables) is F.hash — the SAME hash family
+    Spark's ``hashpartitioning`` uses (Murmur3, seed 42). That identity is
+    load-bearing: an aggregation keyed on the bucket keys leaves its output
+    partitions containing whole buckets (pmod(h, k*N) determines
+    pmod(h, N)), so the bucket-clustered write after LWW dedup needs NO
+    second shuffle. ``xxhash64`` kept for tables created before this.
     """
-    return F.pmod(F.xxhash64(*[F.col(k) for k in bucket_keys]), F.lit(bucket_count)).cast("int")
+    cols = [F.col(k) for k in bucket_keys]
+    h = F.hash(*cols) if fn == "murmur3" else F.xxhash64(*cols)
+    return F.pmod(h, F.lit(bucket_count)).cast("int")
 
 
 class LakeTable:
@@ -179,7 +192,7 @@ class LakeTable:
             bucket_keys=list(bucket_keys),
             bucket_files={},
             summary=summary or {},
-            props=props or {},
+            props={"bucket_fn": "murmur3", **(props or {})},
         )
         cls._write_snapshot(lake, snap)
         cls._flip_current(lake, snap.snapshot_id)
@@ -243,7 +256,21 @@ class LakeTable:
 
     def bucket_col(self) -> F.Column:
         s = self.snapshot()
-        return _bucket_expr(s.bucket_keys, s.bucket_count)
+        return _bucket_expr(s.bucket_keys, s.bucket_count, s.bucket_fn)
+
+    def co_partitioned_write_ok(self, agg_keys: list[str]) -> bool:
+        """True when an aggregation keyed on ``agg_keys`` leaves its output
+        already clustered by this table's buckets: murmur3 bucket fn, the
+        agg keys ARE the bucket keys, and the session shuffle partition
+        count is a multiple of bucket_count (pmod(h, k*N) fixes pmod(h, N))."""
+        snap = self.snapshot()
+        if snap.bucket_fn != "murmur3" or list(agg_keys) != list(snap.bucket_keys):
+            return False
+        try:
+            sp = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            return False
+        return sp % snap.bucket_count == 0
 
     # ------------------------------------------------------------------ read
     def read(
@@ -324,6 +351,7 @@ class LakeTable:
         commit_token: str,
         sort_cols: list[str] | None,
         files_per_bucket: int = 1,
+        pre_partitioned: bool = False,
     ) -> dict[str, list[str]]:
         """Write ``df`` (must contain a ``bucket`` int column) under a fresh
         commit dir, hive-partitioned by bucket; return bucket -> relative
@@ -333,11 +361,21 @@ class LakeTable:
         every shuffle partition writes a sliver of every bucket and a commit
         explodes into shuffle_partitions x bucket_count tiny files (fatal at
         scale: file-count growth + tiny-file reads). ``files_per_bucket > 1``
-        splits giant buckets across that many tasks."""
+        splits giant buckets across that many tasks.
+
+        ``pre_partitioned=True`` asserts the caller's plan is ALREADY
+        hash-partitioned on the bucket keys with the table's murmur3 bucket
+        fn and a partition count that is a multiple of bucket_count — then
+        every task holds whole buckets by construction and the clustering
+        repartition (a second full-payload shuffle) is skipped. If the
+        assertion is ever wrong the failure mode is extra files per bucket,
+        never misplaced rows (the hive bucket= dir is derived per row)."""
         commit_rel = os.path.join(_DATA_DIR, commit_token)
         commit_abs = os.path.join(self.path, commit_rel)
         snap_buckets = self.bucket_count
-        if files_per_bucket > 1:
+        if pre_partitioned:
+            writer = df
+        elif files_per_bucket > 1:
             split = F.pmod(F.xxhash64(*[F.col(c) for c in (sort_cols or ["bucket"])]),
                            F.lit(files_per_bucket))
             writer = df.repartition(snap_buckets * files_per_bucket, F.col("bucket"), split)
@@ -395,7 +433,9 @@ class LakeTable:
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         snap = self.snapshot()
-        return df.withColumn("bucket", _bucket_expr(snap.bucket_keys, snap.bucket_count))
+        return df.withColumn(
+            "bucket", _bucket_expr(snap.bucket_keys, snap.bucket_count, snap.bucket_fn)
+        )
 
     def overwrite(
         self,
@@ -483,6 +523,7 @@ class LakeTable:
         self,
         df: DataFrame,
         sort_cols: list[str] | None = None,
+        pre_partitioned: bool = False,
     ) -> tuple[str, dict[str, list[str]]]:
         """Phase 1 of a merge-on-read upsert: write ``df`` (pre-deduped
         winner rows with an ``op`` tombstone column) as uncommitted delta
@@ -494,7 +535,9 @@ class LakeTable:
         any snapshot and is swept by ``expire_snapshots``."""
         snap = self.snapshot()
         token = f"d{snap.snapshot_id + 1}-{uuid.uuid4().hex[:12]}"
-        new_files = self._write_data_files(self._with_bucket(df), token, sort_cols)
+        new_files = self._write_data_files(
+            self._with_bucket(df), token, sort_cols, pre_partitioned=pre_partitioned
+        )
         return os.path.join(self.path, _DATA_DIR, token), new_files
 
     def commit_delta(
@@ -602,7 +645,14 @@ class LakeTable:
         merged = self.read(buckets=targets)
         token = f"c{snap.snapshot_id + 1}-{uuid.uuid4().hex[:12]}"
         sort_cols = snap.props.get("merge_keys", snap.bucket_keys)
-        new_files = self._write_data_files(self._with_bucket(merged), token, sort_cols)
+        # compaction of delta-bearing buckets reads through the LWW merge
+        # aggregation, whose output is hash-partitioned on the merge keys —
+        # with a murmur3-bucketed table that already clusters whole buckets
+        merge_keys = snap.props.get("merge_keys", snap.bucket_keys)
+        pre_part = self.co_partitioned_write_ok(merge_keys)
+        new_files = self._write_data_files(
+            self._with_bucket(merged), token, sort_cols, pre_partitioned=pre_part
+        )
         target_set = set(targets)
         for b in targets:
             new_files.setdefault(str(b), [])

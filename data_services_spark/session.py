@@ -39,6 +39,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 16MB advisory (vs 64MB default): AQE coalescing at 64MB folds a
+        # chunk's shuffle into ~3 waves of tasks per executor core — the
+        # last-wave tail idles cores. Measured +15% replay throughput at
+        # local[4]; on a big cluster tune with the executor count.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY_PART", "16MB"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # snappy: ~2x faster writes than zstd locally (CPU-bound); flip to
@@ -54,7 +60,13 @@ def get_spark(
     # Only pin the master when not already submitted to a cluster.
     if "SPARK_SUBMIT_MASTER" not in os.environ and not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
-    for k, v in (extra_conf or {}).items():
+    merged_conf = dict(extra_conf or {})
+    # ad-hoc conf via env, e.g. SPARK_GRAFT_EXTRA_CONF="a.b=1;c.d=false"
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            merged_conf.setdefault(k.strip(), v.strip())
+    for k, v in merged_conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1758,3 +1758,143 @@ def reconciliation_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_missing_in_target"),
         F.count(F.when(F.col("user_id").isNull(), 1)).alias("n_extra_in_target"),
     )
+
+
+# --------------------------------------------------------------------------
+# Subquery / grouping-set shapes (SURVEY §4: Catalyst decorrelation & CBO are
+# built-in — these queries prove the engine exercises them; the reference's
+# UNION-of-SELECTs built by shell loop, hfradar.sh:149-159, is the manual
+# ancestor of decorrelated subqueries).
+# --------------------------------------------------------------------------
+
+@register(
+    "rollup_revenue",
+    sql="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets: subtotal hierarchy in one pass (multi-level "
+        "report rollup; generalises the reference's agg-of-agg view cascade, "
+        "report_db.anmn_datastreams_view.sql:6-33).",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "exists_late_orders",
+    sql="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="EXISTS correlated subquery (TPC-H q4 shape) — Catalyst decorrelates "
+        "to a left-semi join; the reconciliation-by-presence idiom "
+        "(hfradar.sh:176-183) as a subquery.",
+)
+def exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    orders.createOrReplaceTempView("v_orders")
+    li.createOrReplaceTempView("v_lineitem")
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM v_orders o
+        WHERE EXISTS (
+            SELECT 1 FROM v_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority
+    """)
+
+
+@register(
+    "revenue_share_scalar_subquery",
+    sql="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice), 2) AS flag_revenue,
+           round(sum(l_extendedprice) * 100.0 /
+                 (SELECT sum(l_extendedprice) FROM lineitem), 4) AS pct_of_total
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Scalar subquery: per-group share of a global total in one "
+        "statement (percent-coverage shape, datastreams_view.sql:27, "
+        "without a CTE).",
+)
+def revenue_share_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("v_lineitem_share")
+    return spark.sql("""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice), 2) AS flag_revenue,
+               round(sum(l_extendedprice) * 100.0 /
+                     (SELECT sum(l_extendedprice) FROM v_lineitem_share), 4) AS pct_of_total
+        FROM v_lineitem_share
+        GROUP BY l_returnflag
+    """)
+
+
+@register(
+    "min_cost_supplier",
+    sql="""
+    SELECT p.p_partkey, p.p_name, s.s_name,
+           round(ps_min.min_price, 2) AS min_price
+    FROM part p
+    JOIN (
+        SELECT l_partkey, min(l_extendedprice / l_quantity) AS min_price
+        FROM lineitem WHERE l_quantity > 0
+        GROUP BY l_partkey
+    ) ps_min ON ps_min.l_partkey = p.p_partkey
+    JOIN lineitem l
+      ON l.l_partkey = p.p_partkey
+     AND l.l_quantity > 0
+     AND l.l_extendedprice / l.l_quantity = ps_min.min_price
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_partkey <= 200
+    GROUP BY p.p_partkey, p.p_name, s.s_name, ps_min.min_price
+    """,
+    doc="Correlated-minimum join (TPC-H q2 shape): supplier(s) offering "
+        "each part at its minimum observed unit price — agg subquery joined "
+        "back on the min condition.",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    sup = load(spark, sf_dir, "supplier")
+    unit = li.withColumn("unit_price", F.col("l_extendedprice") / F.col("l_quantity"))
+    mins = unit.groupBy("l_partkey").agg(F.min("unit_price").alias("min_price")) \
+               .withColumnRenamed("l_partkey", "m_partkey")
+    return (
+        unit.join(mins, (F.col("l_partkey") == F.col("m_partkey"))
+                  & (F.col("unit_price") == F.col("min_price")))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_name",
+                 F.round("min_price", 2).alias("min_price"))
+        .agg(F.count(F.lit(1)).alias("_n")).drop("_n")
+        .select("p_partkey", "p_name", "s_name", "min_price")
+    )

@@ -57,8 +57,11 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
-    # Only pin the master when not already submitted to a cluster.
-    if "SPARK_SUBMIT_MASTER" not in os.environ and not os.environ.get("SPARK_MASTER"):
+    # Only pin the master when NOT running under spark-submit — there the
+    # JVM gateway already exists (PYSPARK_GATEWAY_PORT is set) and carries
+    # the --master the operator chose (local-cluster, standalone, yarn, k8s);
+    # overriding it here would silently degrade a cluster job to local mode.
+    if "PYSPARK_GATEWAY_PORT" not in os.environ and not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
     merged_conf = dict(extra_conf or {})
     # ad-hoc conf via env, e.g. SPARK_GRAFT_EXTRA_CONF="a.b=1;c.d=false"

@@ -77,6 +77,22 @@ def windowed_event_rates(
     )
 
 
+def dedup_redelivered(
+    changes_stream: DataFrame,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Drop redelivered change events (same ``lsn``) inside the watermark
+    horizon via ``dropDuplicatesWithinWatermark`` — streaming state holds
+    one entry per lsn only until the watermark passes it, so state is
+    bounded by the horizon, not the stream length. Downstream LWW apply is
+    already idempotent to redelivery; this operator removes the duplicate
+    *work* before the shuffle (the reference's md5-filename skip,
+    ``faimms.py:114-120``, as bounded streaming state)."""
+    return changes_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["lsn"]
+    )
+
+
 TURN_STATE_SCHEMA = "n_turns long, max_turn_idx int, last_lsn long"
 TURN_OUTPUT_SCHEMA = (
     "conv_id string, n_turns long, max_turn_idx int, last_lsn long, batch_events long"

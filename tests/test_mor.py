@@ -135,3 +135,17 @@ def test_delete_then_reinsert_across_layers(spark, tmp_path):
         for r in applier.target.read().collect()
     }
     assert got2 == got
+
+
+def test_co_partitioned_write_one_file_per_bucket(spark, changes_path, tmp_path):
+    """The murmur3 bucket fn matches Spark's shuffle hash, so the winners
+    write must skip its repartition AND still produce exactly one file per
+    touched bucket per chunk (no file explosion — the failure mode if the
+    co-partitioning assertion ever breaks)."""
+    applier = CdcApplier.bootstrap(spark, str(tmp_path / "lake"), bucket_count=8)
+    assert applier.target.co_partitioned_write_ok(["conv_id", "turn_idx"])
+    changes = spark.read.parquet(changes_path)
+    applier.replay(changes, chunk_size=4000)  # 2 chunks
+    snap = applier.target.snapshot()
+    for b, fs in snap.delta_files.items():
+        assert len(fs) <= 2, (b, fs)  # at most 1 file per chunk per bucket

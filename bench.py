@@ -196,6 +196,23 @@ figure above; the executor-level run demonstrates the same binary runs
 unmodified as a true multi-executor spark-submit job with identical
 results (final table oracle-verified in both modes).
 
+## Scale-up datapoint (6.5x the bench input, one box)
+
+The same job, unchanged, over a 52.5M-event stream (2.8 GB parquet,
+n_convs=500k, 5 chunks) at local[32]:
+
+| events | wall (apply) | apply ev/s | incl. compaction | final rows |
+|---|---|---|---|---|
+| 52,497,154 | 128.0s | **410,140** | 344,563 | 18,951,673 |
+
+Per-event throughput IMPROVES at larger scale (410k vs 294k ev/s on the
+8M input): bigger chunks amortize per-chunk fixed costs, and driver-side
+work stays flat (footer stats 14 ms, lineage buffer 30 ms per chunk —
+independent of chunk size). Extrapolating with the measured 0.9 scaling
+efficiency: 10^10 events ~= 6.8 h on one 32-core box, ~13 min on a
+40-executor cluster of the same boxes — chunked replay keeps state
+O(bucket manifest), so nothing in the driver grows with stream length.
+
 ## Why the design scales past this box
 
 Per chunk the engine scans the change stream exactly ONCE: validation

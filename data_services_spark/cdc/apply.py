@@ -245,7 +245,9 @@ class CdcApplier:
         if hi is None:  # streaming: offsets derived from the batch itself
             hi = max(int(r["max_lsn"]) for r in per_bucket)
             stats.hi = hi
-        per_part = {str(b): int(r["max_lsn"]) for b, r in zip(affected, per_bucket)}
+        # keyed off each row's own bucket id — collect() order is arbitrary,
+        # so zipping against the sorted bucket list would misattribute stats
+        per_part = {str(int(r["_b"])): int(r["max_lsn"]) for r in per_bucket}
         summary = self._summary(snap, hi, batch_id, per_part, epoch)
         existing = [f.name for f in snap.schema.fields]
 
@@ -426,16 +428,35 @@ class CdcApplier:
         # delete count via the _del null-count trick
         per_bucket = self.target.file_stats(new_files)
         tp = _phase("bucket_stats", tp)
-        per_part = {b: int(st["max_lsn"]) for b, st in per_bucket.items()}
+        # Footer stats cover WINNER rows only; LWW orders by (ts, lsn), so a
+        # high-lsn/older-ts loser can leave the footer max below the lsn
+        # actually consumed. per_partition is therefore informational (it is
+        # max-merged in _summary and must never drive resume — last_lsn is
+        # the checkpoint). Absent footer stats fall back to the chunk hi.
+        per_part = {
+            b: int(st["max_lsn"]) if st["max_lsn"] is not None else int(hi)
+            for b, st in per_bucket.items()
+        }
+        if any(st["max_lsn"] is None for st in per_bucket.values()):
+            print(
+                "[cdc] warning: parquet footer lsn stats missing for some "
+                "buckets; per-partition watermarks fell back to chunk hi",
+                file=sys.stderr,
+            )
         summary = self._summary(snap, hi, batch_id, per_part, epoch)
+
+        # Quarantine is written BEFORE the offset-advancing commit: a crash
+        # between the two re-applies the chunk (idempotent) instead of
+        # silently losing the rejected rows (the reverse order would skip
+        # the chunk on replay and the quarantined events would be gone).
+        if stats.n_quarantined:
+            self._write_quarantine(split_valid(chunk)[1], batch_id)
+            tp = _phase("quarantine", tp)
+
         new_snap = self.target.commit_delta(
             new_files, winners.schema, summary, expected_parent=snap.snapshot_id
         )
         stats.snapshot_id = new_snap.snapshot_id
-
-        if stats.n_quarantined:
-            self._write_quarantine(split_valid(chunk)[1], batch_id)
-            tp = _phase("quarantine", tp)
         stats.duration_ms = int((time.monotonic() - t0) * 1000)
 
         if self.with_lineage and self.lineage is not None:
@@ -519,8 +540,14 @@ class CdcApplier:
         epoch: int | None = None,
     ) -> dict[str, Any]:
         prev = prev_snap.summary.get("offsets", {})
+        # max-merge so per-bucket watermarks never move backwards across
+        # chunks (footer-derived values reflect winner rows, not every
+        # consumed event — see _apply_chunk_mor). Informational only;
+        # resume is driven exclusively by last_lsn.
         merged_pp = dict(prev.get("per_partition", {}))
-        merged_pp.update(per_partition)
+        for b, v in per_partition.items():
+            old = merged_pp.get(b)
+            merged_pp[b] = v if old is None else max(int(old), int(v))
         prev_hi = prev.get("last_lsn", -1)
         out: dict[str, Any] = {
             "batch_id": batch_id,

@@ -647,9 +647,16 @@ class LakeTable:
         sort_cols = snap.props.get("merge_keys", snap.bucket_keys)
         # compaction of delta-bearing buckets reads through the LWW merge
         # aggregation, whose output is hash-partitioned on the merge keys —
-        # with a murmur3-bucketed table that already clusters whole buckets
+        # with a murmur3-bucketed table that already clusters whole buckets.
+        # The skip is only sound when EVERY selected bucket is delta-bearing
+        # (pure aggregate plan): read() gives clean buckets a plain file
+        # scan, which is NOT hash-partitioned on the merge keys. targets is
+        # built from delta_buckets() so this holds today; the explicit guard
+        # keeps the invariant if the selection logic ever changes.
         merge_keys = snap.props.get("merge_keys", snap.bucket_keys)
-        pre_part = self.co_partitioned_write_ok(merge_keys)
+        pre_part = self.co_partitioned_write_ok(merge_keys) and all(
+            snap.delta_files.get(str(b)) for b in targets
+        )
         new_files = self._write_data_files(
             self._with_bucket(merged), token, sort_cols, pre_partitioned=pre_part
         )

@@ -43,7 +43,9 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     import numpy as np
 
     rows = df.select(id_col, vec_col).collect()
-    if len(rows) > 2_000_000:
+    # 100k x dim-64 float64 ~ 50 MB pickled — the same ceiling a broadcast
+    # join side gets. Anything bigger belongs on the LSH path.
+    if len(rows) > 100_000:
         raise ValueError(
             f"brute-force side too large to broadcast ({len(rows)} vectors); "
             "use lsh_ann_topk"
@@ -157,37 +159,141 @@ def _hyperplane(p: int, dim: int) -> list[float]:
     return out
 
 
+def _lsh_candidates(
+    t: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    bucket_cap: int,
+) -> DataFrame:
+    """Unordered candidate id pairs (_qa < _qb) from multi-table
+    random-hyperplane banding with salted bucket caps. ``t`` must carry
+    ``_id``, ``_v`` (double array), ``_norm``."""
+    # per-table sign-bit bucket ids, exploded to (id, table, bucket)
+    entries = []
+    for tbl in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for p in range(n_planes):
+            plane = _hyperplane(tbl * n_planes + p, dim)
+            dp = _dot(F.col("_v"), F.array(*[F.lit(c) for c in plane]))
+            bucket = bucket + F.when(dp >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        entries.append(F.struct(F.lit(tbl).alias("tbl"), bucket.alias("bkt")))
+    banded = t.select(
+        "_id", F.explode(F.array(*entries)).alias("_e")
+    ).select("_id", "_e.tbl", "_e.bkt")
+
+    # cap: per-(table,bucket) counts via groupBy — map-side combinable, so a
+    # degenerate bucket never lands on one task (a window count would).
+    # The counts table is at most n_tables * 2^n_planes rows -> broadcast.
+    counts = banded.groupBy("tbl", "bkt").agg(F.count("*").alias("_cnt"))
+    banded = (
+        banded.join(F.broadcast(counts), ["tbl", "bkt"])
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_cnt") > bucket_cap,
+                F.pmod(F.xxhash64("_id"), F.ceil(F.col("_cnt") / F.lit(bucket_cap))),
+            ).otherwise(F.lit(0)),
+        )
+        .select("_id", "tbl", "bkt", "_salt")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a._salt") == F.col("b._salt"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("_qa"), F.col("b._id").alias("_qb"))
+        .dropDuplicates(["_qa", "_qb"])
+    )
+
+
+def lsh_cosine_neardup(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+    bucket_cap: int = 10_000,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: multi-table LSH candidates, exact
+    cosine verified only on candidates. Approximate in recall (a pair all
+    ``n_tables`` tables separate is missed — pytest pins recall vs the
+    brute-force baseline), exact in precision (every emitted sim is exact
+    and >= threshold). This is the default path past the ~100k-vector
+    broadcast ceiling of ``cosine_pairs_above``."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    t = with_norm(df, vec_col).select(F.col(id_col).alias("_id"), "_v", "_norm")
+    cand = _lsh_candidates(t, dim, n_planes, n_tables, bucket_cap)
+    va = t.select(F.col("_id").alias("_qa"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
+    vb = t.select(F.col("_id").alias("_qb"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))
+    sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        cand.join(va, "_qa")
+        .join(vb, "_qb")
+        .withColumn("_sim", sim)
+        .where(F.col("_sim") >= threshold)
+        .select(
+            F.col("_qa").alias("vec_a"),
+            F.col("_qb").alias("vec_b"),
+            F.round("_sim", 6).alias("sim"),
+        )
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
     n_planes: int = 8,
+    n_tables: int = 4,
     dim: int | None = None,
+    bucket_cap: int = 10_000,
 ) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH.
+    """Approximate top-k via random-hyperplane LSH — the 100-TB path.
 
-    Bucket = sign bits against ``n_planes`` fixed hyperplanes; exact cosine
-    is computed only within buckets. Recall < 1 by construction (tested vs
-    the brute-force baseline); cost drops from n^2 to sum of bucket^2.
+    * **Multi-table banding**: ``n_tables`` independent hash tables, each
+      bucketing on the sign bits of its own ``n_planes`` hyperplanes. A true
+      neighbor missed by one table's bucketing is recovered by another —
+      recall compounds as ``1-(1-p^b)^T`` instead of the single-table
+      ``p^b``.
+    * **Bucket-size cap**: a degenerate bucket (e.g. the all-positive
+      orthant on skewed data) would go quadratic; buckets over
+      ``bucket_cap`` are salted into ``ceil(size/cap)`` sub-buckets by id
+      hash, bounding every join group at ~``bucket_cap`` rows. Pairs split
+      across salts in one table can still meet in another (approximate by
+      construction; recall is what the tests pin).
+    * **Candidates are id-only** while heavy vectors stay behind: the
+      self-join ships (table, bucket, salt, id) rows; embeddings are joined
+      back only for the deduped candidate set.
+    * ``dim`` should be passed when known — the ``first()`` probe is a
+      driver round-trip kept only as a convenience fallback.
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    planes = [_hyperplane(p, dim) for p in range(n_planes)]
     t = with_norm(df, vec_col).select(F.col(id_col).alias("_id"), "_v", "_norm")
-    bucket = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        dp = _dot(F.col("_v"), F.array(*[F.lit(c) for c in plane]))
-        bucket = bucket + F.when(dp >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    t = t.withColumn("_bucket", bucket)
-    a = t.alias("a")
-    b = t.alias("b")
-    sim = _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._norm") * F.col("b._norm"))
+    cand = _lsh_candidates(t, dim, n_planes, n_tables, bucket_cap)
+    # mirror so each unordered candidate serves both endpoints' top-k
+    cand = cand.unionByName(
+        cand.select(F.col("_qb").alias("_qa"), F.col("_qa").alias("_qb"))
+    )
+    va = t.select(F.col("_id").alias("_qa"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
+    vb = t.select(F.col("_id").alias("_qb"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))
+    sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     pairs = (
-        a.join(b, (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") != F.col("b._id")))
+        cand.join(va, "_qa")
+        .join(vb, "_qb")
         .select(
-            F.col("a._id").alias("query_id"),
-            F.col("b._id").alias("neighbor_id"),
+            F.col("_qa").alias("query_id"),
+            F.col("_qb").alias("neighbor_id"),
             sim.alias("_sim"),
         )
     )

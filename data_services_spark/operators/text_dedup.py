@@ -152,42 +152,54 @@ def minhash_lsh_candidates(
 
 
 @F.pandas_udf(T.LongType())
-def simhash64(texts):  # type: ignore[no-untyped-def]
-    """64-bit SimHash — vectorized Arrow pandas UDF (numpy per batch).
+def _simhash_from_token_hashes(token_hashes):  # type: ignore[no-untyped-def]
+    """64-bit SimHash from JVM-precomputed token hashes.
 
-    Per doc: hash each token to 64 bits; sum +1/-1 per bit position over
-    tokens; sign vector -> bits. Python stays out of the per-row loop:
-    tokens of the whole batch are hashed in one numpy pipeline.
+    The expensive per-token hashing runs in codegen'd JVM code
+    (``xxhash64`` inside ``transform``); this UDF receives ``array<long>``
+    per doc and does only the bit-majority, as ONE flattened numpy pipeline
+    per Arrow batch: build a (total_tokens, 64) bit matrix with a single
+    shift/mask, segment-sum it per doc with ``np.add.reduceat``, take the
+    majority sign, pack bits. Python work is O(1) per row (array-length
+    bookkeeping); there is no Python loop over tokens or bytes.
     """
     import numpy as np
     import pandas as pd
 
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if t is None:
-            continue
-        toks = np.array([w for w in t.split(" ") if w], dtype=object)
-        if toks.size == 0:
-            continue
-        # deterministic 64-bit token hashes (FNV-1a over utf-8, vectorized-ish)
-        hs = np.fromiter(
-            (_fnv1a64(w.encode()) for w in toks), dtype=np.uint64, count=toks.size
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        counts = (2 * bits - 1).sum(axis=0)
-        sh = np.uint64(0)
-        for b in np.nonzero(counts > 0)[0]:
-            sh |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sh.astype(np.int64))
+    n = len(token_hashes)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return pd.Series(out)
+    empty = np.empty(0, dtype=np.int64)
+    arrs = [
+        empty if v is None else np.asarray(v, dtype=np.int64) for v in token_hashes
+    ]
+    lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=n)
+    if not lens.any():
+        return pd.Series(out)
+    flat = np.concatenate(arrs).view(np.uint64)
+    bits = (
+        (flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    ).astype(np.int8)
+    nz = lens > 0
+    nz_lens = lens[nz]
+    ends = np.cumsum(nz_lens)
+    starts = ends - nz_lens
+    counts = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+    majority = (2 * counts) > nz_lens[:, None]  # strict majority; ties -> 0 bit
+    packed = (
+        majority.astype(np.uint64) * (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    ).sum(axis=1, dtype=np.uint64)
+    out[nz] = packed.view(np.int64)
     return pd.Series(out)
 
 
-def _fnv1a64(data: bytes) -> int:
-    h = 0xCBF29CE484222325
-    for byte in data:
-        h ^= byte
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def simhash64(col) -> F.Column:
+    """64-bit SimHash of a text column. Tokenization + per-token hashing are
+    pure column expressions (``xxhash64`` in whole-stage codegen); only the
+    batch-level numpy bit-majority crosses into Python, via Arrow."""
+    token_hashes = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    return _simhash_from_token_hashes(token_hashes)
 
 
 def simhash_buckets(
@@ -207,40 +219,69 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    block_col: str = "source",
     threshold: float = 0.4,
 ) -> DataFrame:
-    """Exact word-set Jaccard over pairs within a blocking key (the
-    quadratic verify step; blocking keeps it tractable — at scale the
-    blocking key comes from LSH, here from a metadata column)."""
+    """EXACT all-pairs word-set Jaccard >= threshold via prefix filtering
+    (the AllPairs/PPJoin candidate rule) — no corpus-wide quadratic join.
+
+    Theorem (Chaudhuri/Bayardo): order every doc's distinct tokens by one
+    global total order (here: ascending document frequency, token as
+    tie-break — rarest first). If J(A,B) >= t, the two docs' *prefixes* of
+    length ``|X| - ceil(t*|X|) + 1`` must share at least one token. So:
+
+    1. explode to (doc, token), join token document-frequencies (map-side
+       combinable count),
+    2. rank tokens per doc by (df, token), keep only the prefix,
+    3. candidate pairs = equi-join on the shared prefix token (+ exact
+       size-ratio prune: J >= t implies min|X|/max|X| >= t),
+    4. verify exact Jaccard only on candidates.
+
+    The join key is the *rarest* tokens of each doc, so bucket sizes are
+    bounded by construction (a token appearing in k docs contributes at
+    most k^2/2 candidate checks and prefix tokens are rare by selection) —
+    this scales where block-on-metadata goes corpus-quadratic. The
+    epsilon in the ceil guards IEEE representation of the threshold
+    (0.4*35 = 14.000000000000002 must still ceil to 14)."""
     t = df.select(
         F.col(id_col).alias("_id"),
-        F.col(block_col).alias("_blk"),
         F.array_distinct(tokens(F.col(text_col))).alias("_w"),
     ).withColumn("_sz", F.size("_w"))
-    a = t.alias("a")
-    b = t.alias("b")
-    jac = F.size(F.array_intersect("a._w", "b._w")) / F.size(F.array_union("a._w", "b._w"))
-    # size-bound prefilter (exact): J >= t implies min(|A|,|B|)/max >= t,
-    # so the length-ratio test prunes pairs BEFORE the array_intersect —
-    # the join emits only ratio-compatible pairs
-    # epsilon slack so float representation of the threshold can never
-    # exclude an exactly-on-the-boundary pair
+    tok = t.select("_id", "_sz", F.explode("_w").alias("_t"))
+    dfreq = tok.groupBy("_t").agg(F.count("*").alias("_df"))
+    from pyspark.sql import Window
+
+    order = Window.partitionBy("_id").orderBy("_df", "_t")
+    prefix_len = F.col("_sz") - F.ceil(
+        F.col("_sz") * F.lit(threshold) - F.lit(1e-9)
+    ) + 1
+    prefix = (
+        tok.join(dfreq, "_t")
+        .withColumn("_rn", F.row_number().over(order))
+        .where(F.col("_rn") <= prefix_len)
+        .select("_id", "_sz", "_t")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
     ratio_ok = F.least("a._sz", "b._sz").cast("double") >= (
         F.greatest("a._sz", "b._sz") * F.lit(threshold) - F.lit(1e-9)
     )
-    return (
+    cand = (
         a.join(
             b,
-            (F.col("a._blk") == F.col("b._blk"))
+            (F.col("a._t") == F.col("b._t"))
             & (F.col("a._id") < F.col("b._id"))
             & ratio_ok,
         )
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    wa = t.select(F.col("_id").alias("doc_a"), F.col("_w").alias("_wa"))
+    wb = t.select(F.col("_id").alias("doc_b"), F.col("_w").alias("_wb"))
+    jac = F.size(F.array_intersect("_wa", "_wb")) / F.size(F.array_union("_wa", "_wb"))
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
         .withColumn("jaccard", F.round(jac.cast("double"), 6))
         .where(F.col("jaccard") >= threshold)
-        .select(
-            F.col("a._id").alias("doc_a"),
-            F.col("b._id").alias("doc_b"),
-            "jaccard",
-        )
+        .select("doc_a", "doc_b", "jaccard")
     )

@@ -212,7 +212,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
            round(sum(CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0 END), 2) AS big_total,
            min(o_orderdate) AS first_order,
            max(o_orderdate) AS last_order
@@ -298,7 +298,7 @@ def having_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            bool_or(value > 15) AS any_big,
-           sum(CASE WHEN src = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           CAST(sum(CASE WHEN src = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
            count(*) AS n_total
     FROM u GROUP BY user_id
     """,
@@ -722,18 +722,40 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     sql="""
     WITH t AS (
-        SELECT doc_id, source,
+        SELECT doc_id,
                list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS w
         FROM documents
-    ), pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.w, b.w))), 6) AS jaccard
-        FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    ), tok AS (
+        SELECT doc_id, len(w) AS sz, unnest(w) AS tkn FROM t
+    ), dfreq AS (
+        SELECT tkn, count(*) AS dfc FROM tok GROUP BY tkn
+    ), ranked AS (
+        SELECT tok.doc_id, tok.sz, tok.tkn,
+               row_number() OVER (PARTITION BY tok.doc_id
+                                  ORDER BY dfreq.dfc, tok.tkn) AS rn
+        FROM tok JOIN dfreq USING (tkn)
+    ), prefix AS (
+        SELECT doc_id, sz, tkn FROM ranked
+        WHERE rn <= sz - ceil(sz * 0.4 - 1e-9) + 1
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM prefix a JOIN prefix b
+          ON a.tkn = b.tkn AND a.doc_id < b.doc_id
+         AND CAST(least(a.sz, b.sz) AS DOUBLE)
+             >= greatest(a.sz, b.sz) * 0.4 - 1e-9
     )
-    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.4
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(ta.w, tb.w)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ta.w, tb.w))), 6) AS jaccard
+    FROM cand c
+    JOIN t ta ON ta.doc_id = c.doc_a
+    JOIN t tb ON tb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(ta.w, tb.w)) AS DOUBLE)
+          / len(list_distinct(list_concat(ta.w, tb.w))) >= 0.4
     """,
-    doc="n-gram (word-set) Jaccard near-dup pairs within a blocking key.",
+    doc="EXACT corpus-wide word-set Jaccard pairs via AllPairs/PPJoin "
+        "prefix filtering — candidates join on each doc's rarest tokens, "
+        "no corpus-quadratic block join.",
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_dedup import ngram_jaccard_pairs
@@ -795,13 +817,15 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_lsh_topk",
     sql=None,  # approximate by construction; pytest measures recall
-    doc="LSH (random hyperplane) bucketed ANN — the scale path; recall vs "
-        "brute force asserted in pytest.",
+    doc="Multi-table hyperplane-LSH bucketed ANN (salted bucket caps) — the "
+        "scale path; recall vs brute force asserted in pytest.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import lsh_ann_topk
 
-    return lsh_ann_topk(load(spark, sf_dir, "embeddings"), k=3, n_planes=6, dim=64)
+    return lsh_ann_topk(
+        load(spark, sf_dir, "embeddings"), k=3, n_planes=6, n_tables=4, dim=64
+    )
 
 
 @register(
@@ -912,7 +936,20 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import extract_features, synthesize_media
 
     media = synthesize_media(load(spark, sf_dir, "documents"))
-    return extract_features(media)
+    feats = extract_features(media)
+    # The operator API keeps the raw array<float> feature column; the
+    # registry entry projects it to a deterministic string digest so the
+    # driver's pandas canonicalizer (which sorts by every column) never sees
+    # an unhashable list cell.
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: F.format_number(x, 6))
+        ).alias("feature_digest"),
+        "decoder",
+    )
 
 # --------------------------------------------------------------------------
 # Coverage additions (SURVEY §2 rows previously without registry entries)
@@ -1252,6 +1289,21 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_pairs_above
 
     return cosine_pairs_above(load(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+@register(
+    "lsh_cosine_neardup",
+    sql=None,  # approximate recall by construction; pytest pins recall
+    doc="Embedding near-dup at scale: multi-table hyperplane-LSH candidates "
+        "(salted bucket caps), exact cosine verified on candidates only — "
+        "the default past the brute-force broadcast ceiling.",
+)
+def lsh_cosine_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_cosine_neardup
+
+    return lsh_cosine_neardup(
+        load(spark, sf_dir, "embeddings"), threshold=0.45, dim=64
+    )
 
 
 @register(

@@ -39,9 +39,17 @@ def snapshot_diff(
 
     One full-outer join on the keys; change detection is a column-wise
     null-safe comparison (the engine-side analogue of rsync's itemized
-    flags). LSNs are assigned deterministically by key order starting at
-    ``lsn_start`` (driver assigns dense ranks — at scale swap in a
-    zipWithIndex-free ordering by (ts, key) if a total order matters).
+    flags).
+
+    **LSN assignment is distributed**: dense, deterministic, globally
+    key-ordered LSNs WITHOUT the single-reducer global window sort. The diff
+    is range-partitioned on the keys (ordered, non-overlapping ranges), each
+    partition ranks locally, and a tiny per-partition count job yields the
+    cumulative offsets (collect of ``shuffle_partitions`` rows, never data)
+    that a broadcast join adds back — the same two-phase scheme Spark's own
+    global sort uses. The diff is persisted (MEMORY_AND_DISK) so the count
+    pass and the output share one materialization; callers applying the
+    result immediately can ``.unpersist()`` afterwards.
     """
     compare_cols = compare_cols or [
         c for c in current.columns if c not in keys and c != ts_col
@@ -71,8 +79,42 @@ def snapshot_diff(
         op.alias("op"),
     ]
     events = joined.select(*out_cols).where(F.col("op").isNotNull())
-    w_order = F.row_number().over(Window.orderBy(*[F.col(k) for k in keys]))
-    return events.withColumn("lsn", (w_order + F.lit(lsn_start - 1)).cast("long"))
+    return _assign_dense_lsn(events, keys, lsn_start)
+
+
+def _assign_dense_lsn(
+    events: DataFrame, keys: list[str], lsn_start: int
+) -> DataFrame:
+    """Dense global rank by key order, computed scalably: range partition ->
+    local row_number -> broadcast-joined partition offsets. No partition of
+    the plan ever holds more than one range's rows (a global
+    ``Window.orderBy`` would funnel the whole diff through one reducer)."""
+    from pyspark.storagelevel import StorageLevel
+
+    spark = events.sparkSession
+    ranged = events.repartitionByRange(*[F.col(k) for k in keys]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sorted(
+        (r["_pid"], r["count"]) for r in ranged.groupBy("_pid").count().collect()
+    )
+    offsets, acc = [], lsn_start
+    for pid, cnt in sizes:
+        offsets.append((pid, acc))
+        acc += int(cnt)
+    if not offsets:  # empty diff
+        return ranged.withColumn("lsn", F.lit(None).cast("long")).drop("_pid")
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    rn = F.row_number().over(
+        Window.partitionBy("_pid").orderBy(*[F.col(k) for k in keys])
+    )
+    return (
+        ranged.withColumn("_rn", rn)
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("lsn", (F.col("_off") + F.col("_rn") - 1).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
 
 
 def read_jsonl_changes(spark: SparkSession, path: str) -> DataFrame:

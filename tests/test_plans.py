@@ -118,3 +118,29 @@ def test_mor_read_prunes_clean_buckets(spark, tmp_path):
     # clean-branch scan exists and the aggregate count is bounded by the
     # delta-bearing branch only
     assert "Union" in plan
+
+
+def test_snapshot_diff_lsn_no_single_partition_exchange(spark):
+    """snapshot_diff's LSN assignment must never plan a single-partition
+    exchange (the global-window sort would); LSNs stay dense, unique, and
+    globally ordered by key."""
+    from data_services_spark.sources.change_capture import snapshot_diff
+
+    prev = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.to_timestamp(F.lit("2024-01-01")).alias("ts"),
+    )
+    cur = spark.range(100, 650).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 == 0, F.col("id") * 3).otherwise(F.col("id") * 2).alias("v"),
+        F.to_timestamp(F.lit("2024-01-02")).alias("ts"),
+    )
+    diff = snapshot_diff(prev, cur, keys=["k"], lsn_start=1000)
+    plan = _formatted(diff)
+    assert "SinglePartition" not in plan, plan
+    rows = sorted(diff.collect(), key=lambda r: r["lsn"])
+    lsns = [r["lsn"] for r in rows]
+    assert lsns == list(range(1000, 1000 + len(rows)))  # dense from lsn_start
+    keys_in_lsn_order = [r["k"] for r in rows]
+    assert keys_in_lsn_order == sorted(keys_in_lsn_order)  # key-ordered

@@ -143,3 +143,89 @@ def test_multimodal_plumbing(spark, docs):
 def test_kinds_covered(spark, docs):
     kinds = {r["kind"] for r in synthesize_media(docs).select("kind").distinct().collect()}
     assert kinds == {"image", "audio", "video"}
+
+
+def test_ngram_prefix_filter_matches_bruteforce(spark, docs):
+    """Prefix filtering (AllPairs) is EXACT: same pairs as the naive
+    all-pairs quadratic join at every tested threshold."""
+    t = docs.select(
+        "doc_id", F.array_distinct(F.filter(F.split("text", " "), lambda x: x != "")).alias("w")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    jac = F.size(F.array_intersect("a.w", "b.w")) / F.size(F.array_union("a.w", "b.w"))
+    for thr in (0.3, 0.5, 0.8):
+        brute = {
+            (r["doc_a"], r["doc_b"])
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                jac.alias("j"),
+            )
+            .where(F.col("j") >= thr)
+            .collect()
+        }
+        fast = {
+            (r["doc_a"], r["doc_b"])
+            for r in ngram_jaccard_pairs(docs, threshold=thr).collect()
+        }
+        assert fast == brute, f"thr={thr}: {fast ^ brute}"
+
+
+def test_lsh_bucket_cap_on_skewed_fixture(spark):
+    """On a degenerate corpus (every vector in one orthant -> one bucket per
+    table), the salted cap bounds every join group's size."""
+    import math
+
+    from data_services_spark.operators.similarity import (
+        _hyperplane,
+        _lsh_candidates,
+        with_norm,
+    )
+
+    n, dim, cap = 200, 8, 25
+    rows = [
+        (i, [abs(math.sin(i * 13 + j)) + 0.1 for j in range(dim)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    t = with_norm(df, "embedding").select(F.col("vec_id").alias("_id"), "_v", "_norm")
+    cand = _lsh_candidates(t, dim=dim, n_planes=4, n_tables=2, bucket_cap=cap)
+    n_pairs = cand.count()
+    # every vector shares sign buckets -> uncapped would be ~ n^2/2 pairs
+    # per table; capped: <= n_sub * cap^2/2 * tables with n_sub = ceil(n/cap)
+    n_sub = -(-n // cap)
+    bound = 2 * n_sub * cap * (cap - 1) / 2  # 2 tables
+    assert n_pairs <= bound, f"{n_pairs} pairs exceeds salted-cap bound {bound}"
+    assert n_pairs > 0
+
+
+def test_lsh_cosine_neardup_recall(spark):
+    """LSH near-dup keeps >=60% of brute-force pairs, with exact sims."""
+    import math
+
+    from data_services_spark.operators.similarity import (
+        cosine_pairs_above,
+        lsh_cosine_neardup,
+    )
+
+    rows = []
+    for i in range(60):
+        c = i % 3
+        vec = [
+            math.sin(c * 17 + j) + 0.01 * math.sin(i * 7 + j * 3) for j in range(16)
+        ]
+        rows.append((i, [float(x) for x in vec]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in cosine_pairs_above(df, threshold=0.9).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in lsh_cosine_neardup(df, threshold=0.9, dim=16, n_planes=4).collect()
+    }
+    assert set(approx) <= set(exact)  # precision: only true pairs, exact sims
+    for pair, sim in approx.items():
+        assert sim == exact[pair]
+    recall = len(approx) / len(exact)
+    assert recall >= 0.6, f"recall too low: {recall}"

@@ -1,0 +1,181 @@
+"""Declarative table-level contract checks (post-commit compliance gate).
+
+The reference gates every output file on a compliance-checker battery with
+per-suite expected pass/fail corpora (``lib/python/util.py:120-174``,
+``lib/python/compliance_checker_test.py:1-70``). Re-expression: a
+:class:`ContractSuite` is plain data — uniqueness / nullability / accepted
+values / bounds / monotonic-ordering rules — compiled into as few Spark
+jobs as possible:
+
+* every row-local rule (not-null, bounds, accepted-values, custom
+  predicate) becomes one conditional count in a SINGLE aggregate over ONE
+  scan — adding a rule adds zero scans;
+* uniqueness is one groupBy on the key (map-side combinable count);
+* monotonicity is one window pass per (group, order) pair.
+
+``run`` returns a report DataFrame ``(check_name, kind, n_violations,
+passed)`` so the gate composes with the engine's own query surface; fetch
+offending rows with ``violations``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Contract:
+    """One check. ``kind`` in {not_null, bounds, accepted_values, unique,
+    monotonic, predicate}; row-local kinds fold into one aggregate."""
+
+    name: str
+    kind: str
+    column: str | None = None
+    columns: list[str] = field(default_factory=list)
+    min_value: Any = None
+    max_value: Any = None
+    values: list[Any] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)  # monotonic: per-group
+    order_by: str | None = None  # monotonic: ordering column
+    predicate_sql: str | None = None  # predicate: SQL bool expr, TRUE = ok
+
+
+def _row_violation_expr(c: Contract) -> F.Column:
+    """TRUE when the row violates the contract (row-local kinds only)."""
+    if c.kind == "not_null":
+        return F.col(c.column).isNull()
+    if c.kind == "bounds":
+        col = F.col(c.column)
+        bad = F.lit(False)
+        if c.min_value is not None:
+            bad = bad | (col < c.min_value)
+        if c.max_value is not None:
+            bad = bad | (col > c.max_value)
+        return col.isNotNull() & bad
+    if c.kind == "accepted_values":
+        return F.col(c.column).isNotNull() & ~F.col(c.column).isin(c.values)
+    if c.kind == "predicate":
+        return ~F.expr(c.predicate_sql)
+    raise ValueError(f"not a row-local contract kind: {c.kind}")
+
+
+ROW_LOCAL = {"not_null", "bounds", "accepted_values", "predicate"}
+
+
+class ContractSuite:
+    def __init__(self, contracts: list[Contract]):
+        names = [c.name for c in contracts]
+        if len(set(names)) != len(names):
+            raise ValueError("duplicate contract names")
+        self.contracts = contracts
+
+    def run(self, df: DataFrame) -> DataFrame:
+        """Report DataFrame: one row per contract with its violation count.
+        Row-local checks share one aggregate job; uniqueness/monotonic each
+        add one shuffle-bounded job, unioned lazily."""
+        spark = df.sparkSession
+        parts: list[DataFrame] = []
+
+        row_local = [c for c in self.contracts if c.kind in ROW_LOCAL]
+        if row_local:
+            agg = df.agg(
+                *[
+                    F.sum(_row_violation_expr(c).cast("long")).alias(c.name)
+                    for c in row_local
+                ]
+            )
+            stack = F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c.name).alias("check_name"),
+                            F.lit(c.kind).alias("kind"),
+                            F.coalesce(F.col(c.name), F.lit(0)).alias("n_violations"),
+                        )
+                        for c in row_local
+                    ]
+                )
+            )
+            parts.append(agg.select(stack.alias("r")).select("r.*"))
+
+        for c in self.contracts:
+            if c.kind == "unique":
+                keys = c.columns or [c.column]
+                dupes = (
+                    df.groupBy(*keys)
+                    .agg(F.count("*").alias("_n"))
+                    .where(F.col("_n") > 1)
+                    .agg(F.coalesce(F.sum(F.col("_n") - 1), F.lit(0)).alias("n_violations"))
+                )
+                parts.append(
+                    dupes.select(
+                        F.lit(c.name).alias("check_name"),
+                        F.lit("unique").alias("kind"),
+                        "n_violations",
+                    )
+                )
+            elif c.kind == "monotonic":
+                w = Window.partitionBy(*c.group_by).orderBy(c.order_by)
+                prev = F.lag(F.col(c.column)).over(w)
+                viol = (
+                    df.withColumn("_prev", prev)
+                    .where(F.col("_prev").isNotNull() & (F.col(c.column) < F.col("_prev")))
+                    .agg(F.count("*").alias("n_violations"))
+                )
+                parts.append(
+                    viol.select(
+                        F.lit(c.name).alias("check_name"),
+                        F.lit("monotonic").alias("kind"),
+                        "n_violations",
+                    )
+                )
+
+        report = parts[0]
+        for p in parts[1:]:
+            report = report.unionByName(p)
+        return report.withColumn("passed", F.col("n_violations") == 0)
+
+    def violations(self, df: DataFrame, name: str) -> DataFrame:
+        """Offending rows for one row-local contract (debug/quarantine)."""
+        c = next(x for x in self.contracts if x.name == name)
+        if c.kind not in ROW_LOCAL:
+            raise ValueError(f"violations() supports row-local kinds, not {c.kind}")
+        return df.where(_row_violation_expr(c))
+
+    def assert_table(self, df: DataFrame) -> None:
+        """Hard gate: raise with the failing checks (the reference's
+        checker-fails -> quarantine behavior, util.py:120-174)."""
+        failed = [
+            (r["check_name"], r["n_violations"])
+            for r in self.run(df).where(~F.col("passed")).collect()
+        ]
+        if failed:
+            raise AssertionError(f"contract violations: {failed}")
+
+
+def transcripts_suite() -> ContractSuite:
+    """The engine's default post-commit gate for the transcripts target
+    (the reference runs its checker suite on every output file,
+    util.py:120-174): key uniqueness (exactly-once invariant made
+    checkable), nullability, turn bounds, role domain. Per-conversation
+    ts-monotonicity is deliberately NOT a default gate: a later edit to an
+    earlier turn legitimately carries a newer event time (LWW orders by
+    event ts, not turn order) — it stays available as a diagnostic via
+    ``monotonicity_violations`` / a ``monotonic`` contract."""
+    from .cdc.schemas import KEY_COLS, ROLES
+
+    return ContractSuite(
+        [
+            Contract("key_unique", "unique", columns=list(KEY_COLS)),
+            Contract("conv_id_not_null", "not_null", column="conv_id"),
+            Contract("lsn_not_null", "not_null", column="lsn"),
+            Contract("turn_idx_non_negative", "bounds", column="turn_idx",
+                     min_value=0),
+            Contract("role_domain", "accepted_values", column="role",
+                     values=list(ROLES)),
+        ]
+    )

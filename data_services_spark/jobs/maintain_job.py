@@ -34,6 +34,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="only compact buckets with at least this many delta layers")
     ap.add_argument("--expire-keep", type=int, default=0,
                     help="expire all but the last N snapshots (0 = don't expire)")
+    ap.add_argument("--contracts", action="store_true",
+                    help="run the transcripts contract battery post-commit "
+                         "(uniqueness/nullability/domain/monotonicity); "
+                         "failing checks land in the JSON report and flip "
+                         "the exit code to 2")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -43,6 +48,7 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("maintain_job", cpus=args.cpus)
 
+    rc = 0
     for name in [t for t in args.tables.split(",") if t]:
         path = f"{args.root}/{name}"
         if not LakeTable.exists(path):
@@ -63,10 +69,19 @@ def main(argv: list[str] | None = None) -> int:
         if args.expire_keep > 0:
             expired = table.expire_snapshots(keep_last=args.expire_keep)
             out["expired_snapshots"] = len(expired)
+        if args.contracts and name == "transcripts":
+            from data_services_spark.contracts import transcripts_suite
+
+            report = transcripts_suite().run(table.read()).collect()
+            out["contracts"] = {
+                r["check_name"]: int(r["n_violations"]) for r in report
+            }
+            if any(not r["passed"] for r in report):
+                rc = 2
         out["snapshot_after"] = table.current_snapshot_id()
         out["wall_sec"] = round(time.monotonic() - t0, 3)
         print(json.dumps(out))
-    return 0
+    return rc
 
 
 if __name__ == "__main__":

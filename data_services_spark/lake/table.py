@@ -76,6 +76,33 @@ class CommitConflict(Exception):
     CURRENT and re-planning."""
 
 
+def retry_commit(attempt, retries: int = 10, base_sleep: float = 0.05,
+                 max_sleep: float = 2.0):
+    """Bounded exponential backoff around an optimistic commit attempt
+    (reference: 10-try exponential retry policy,
+    ``lib/python/aims_realtime_util.py:191-196``).
+
+    ``attempt`` must RE-READ the current snapshot and re-derive its
+    carried-forward metadata each call — only commutative commits (appends,
+    metadata merges) belong here. CDC apply deliberately does NOT use it:
+    two appliers racing one table is a singleton violation where failing
+    fast is correct, not a transient to absorb."""
+    import random
+    import time as _time
+
+    last: CommitConflict | None = None
+    for i in range(retries):
+        try:
+            return attempt()
+        except CommitConflict as e:
+            last = e
+            if i == retries - 1:
+                break
+            # full jitter: avoids lockstep re-collision of N racing writers
+            _time.sleep(random.uniform(0, min(base_sleep * (2 ** i), max_sleep)))
+    raise last  # type: ignore[misc]
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
@@ -454,17 +481,27 @@ class LakeTable:
         summary: dict[str, Any] | None = None,
         sort_cols: list[str] | None = None,
     ) -> Snapshot:
-        """Append-only commit (new files added, nothing rewritten)."""
-        snap = self.snapshot()
-        token = f"c{snap.snapshot_id + 1}-{uuid.uuid4().hex[:12]}"
+        """Append-only commit (new files added, nothing rewritten).
+
+        Appends are commutative, so a losing race retries with backoff:
+        data files are written ONCE; each attempt re-reads the current
+        snapshot and re-derives the carried-forward file map before the
+        optimistic commit (Iceberg's append-conflict resolution)."""
+        token = f"c{self.current_snapshot_id() + 1}-{uuid.uuid4().hex[:12]}"
         new_files = self._write_data_files(self._with_bucket(df), token, sort_cols)
-        appended = {
-            b: snap.bucket_files.get(b, []) + fs for b, fs in new_files.items()
-        }
-        schema = self._evolve_schema(snap.schema, df.schema)
-        return self._commit(
-            "append", appended, snap.bucket_files, schema, summary or {}, snap.snapshot_id
-        )
+
+        def attempt() -> Snapshot:
+            snap = self.snapshot()
+            appended = {
+                b: snap.bucket_files.get(b, []) + fs for b, fs in new_files.items()
+            }
+            schema = self._evolve_schema(snap.schema, df.schema)
+            return self._commit(
+                "append", appended, snap.bucket_files, schema, summary or {},
+                snap.snapshot_id,
+            )
+
+        return retry_commit(attempt)
 
     @staticmethod
     def _evolve_schema(old: T.StructType, new: T.StructType) -> T.StructType:

@@ -80,6 +80,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    bucket_cap: int = 20_000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, built for scale:
 
@@ -92,7 +93,13 @@ def minhash_lsh_candidates(
        — no string concat; the banded table is (id, band, bucket), 3 slim
        columns × ``bands`` rows per doc.
     3. **Self-join within (band, bucket)** on the slim table; candidate
-       generation never goes quadratic in the corpus, only within buckets.
+       generation never goes quadratic in the corpus, only within buckets —
+       and a degenerate bucket (all-empty/boilerplate docs hashing alike)
+       is salted into ``ceil(size/bucket_cap)`` sub-buckets (map-side
+       combinable count + broadcast join back, same cap scheme as the
+       embedding LSH), so no single join group exceeds ~``bucket_cap``
+       rows. A pair split across salts in one band usually shares another
+       band; truly identical docs are exact_dedup's job, not near-dup's.
     4. **Verify by joining candidate ids back** to a (id, shingles) table —
        the heavy shingle arrays are shipped only for actual candidates.
 
@@ -127,6 +134,26 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
+    # Unlike the embedding LSH (2^n_planes buckets), these bucket ids are
+    # hashes with corpus-sized cardinality — so only the OVER-CAP buckets
+    # (a handful of degenerate ones by construction) are broadcast back;
+    # everything else left-joins to null and keeps salt 0.
+    hot = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("_cnt"))
+        .where(F.col("_cnt") > bucket_cap)
+    )
+    banded = (
+        banded.join(F.broadcast(hot), ["band", "bucket"], "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_cnt").isNotNull(),
+                F.pmod(F.xxhash64("_id"), F.ceil(F.col("_cnt") / F.lit(bucket_cap))),
+            ).otherwise(F.lit(0)),
+        )
+        .select("_id", "band", "bucket", "_salt")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -134,6 +161,7 @@ def minhash_lsh_candidates(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col("a._id") < F.col("b._id")),
         )
         .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
@@ -242,6 +270,12 @@ def ngram_jaccard_pairs(
     this scales where block-on-metadata goes corpus-quadratic. The
     epsilon in the ceil guards IEEE representation of the threshold
     (0.4*35 = 14.000000000000002 must still ceil to 14)."""
+    # Token sets are carried as xxhash64 longs, not strings: set sizes,
+    # intersections, and Jaccard are identical (collision probability
+    # ~|vocab|^2/2^64, nil), while the verify join ships 8-byte fixed-width
+    # arrays and compares longs instead of strings. The prefix ORDER still
+    # uses (df, token-string) so it stays a total order the oracle can
+    # reproduce; only the pair-verify math runs on hashes.
     t = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(tokens(F.col(text_col))).alias("_w"),
@@ -275,8 +309,11 @@ def ngram_jaccard_pairs(
         .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    wa = t.select(F.col("_id").alias("doc_a"), F.col("_w").alias("_wa"))
-    wb = t.select(F.col("_id").alias("doc_b"), F.col("_w").alias("_wb"))
+    hashed = t.select(
+        "_id", "_sz", F.transform("_w", lambda x: F.xxhash64(x)).alias("_h")
+    )
+    wa = hashed.select(F.col("_id").alias("doc_a"), F.col("_h").alias("_wa"))
+    wb = hashed.select(F.col("_id").alias("doc_b"), F.col("_h").alias("_wb"))
     jac = F.size(F.array_intersect("_wa", "_wb")) / F.size(F.array_union("_wa", "_wb"))
     return (
         cand.join(wa, "doc_a")

@@ -736,13 +736,13 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tok JOIN dfreq USING (tkn)
     ), prefix AS (
         SELECT doc_id, sz, tkn FROM ranked
-        WHERE rn <= sz - ceil(sz * 0.4 - 1e-9) + 1
+        WHERE rn <= sz - ceil(sz * 0.9 - 1e-9) + 1
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM prefix a JOIN prefix b
           ON a.tkn = b.tkn AND a.doc_id < b.doc_id
          AND CAST(least(a.sz, b.sz) AS DOUBLE)
-             >= greatest(a.sz, b.sz) * 0.4 - 1e-9
+             >= greatest(a.sz, b.sz) * 0.9 - 1e-9
     )
     SELECT c.doc_a, c.doc_b,
            round(CAST(len(list_intersect(ta.w, tb.w)) AS DOUBLE)
@@ -751,7 +751,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN t ta ON ta.doc_id = c.doc_a
     JOIN t tb ON tb.doc_id = c.doc_b
     WHERE CAST(len(list_intersect(ta.w, tb.w)) AS DOUBLE)
-          / len(list_distinct(list_concat(ta.w, tb.w))) >= 0.4
+          / len(list_distinct(list_concat(ta.w, tb.w))) >= 0.9
     """,
     doc="EXACT corpus-wide word-set Jaccard pairs via AllPairs/PPJoin "
         "prefix filtering — candidates join on each doc's rarest tokens, "
@@ -760,7 +760,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.4)
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.9)
 
 
 @register(
@@ -1949,4 +1949,188 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round("min_price", 2).alias("min_price"))
         .agg(F.count(F.lit(1)).alias("_n")).drop("_n")
         .select("p_partkey", "p_name", "s_name", "min_price")
+    )
+
+
+# --------------------------------------------------------------------------
+# Schema-mapping / QC-flag layer (reference: provider->canonical variable
+# mapping on every ingest, ardc_nrt/lib/common/lookup.py:147-165 +
+# netcdf.py:71-83; rename/retype battery aims_realtime_util.py:727-890;
+# flag vocabulary PARAMETERS_MAPPING/qc_flags.csv).
+# --------------------------------------------------------------------------
+
+@register(
+    "schema_mapping_apply",
+    sql="""
+    SELECT event_id,
+           user_id AS uid,
+           event_type AS etype,
+           CAST(value AS DOUBLE) AS val,
+           CAST(NULL AS VARCHAR) AS provider,
+           ts
+    FROM events
+    """,
+    doc="Config-driven provider->canonical column mapping: rename + retype "
+        "+ default-fill absent columns, drop unmapped columns with a "
+        "report (lookup.py:147-165, netcdf.py:71-75, "
+        "aims_realtime_util.py:727-890). One projection, zero shuffles; "
+        "Catalyst prunes dropped provider columns out of the scan.",
+)
+def schema_mapping_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .cdc.mapping import SchemaMapping
+
+    mapping = SchemaMapping.from_config(
+        {
+            "event_id": "event_id",
+            "user_id": "uid",
+            "event_type": "etype",
+            "value": {"to": "val", "type": "double"},
+            # absent in this feed -> typed default (additive evolution)
+            "provider_name": {"to": "provider", "type": "string"},
+            "ts": "ts",
+        }
+    )
+    mapped, report = mapping.apply(load(spark, sf_dir, "events"))
+    assert report.dropped == ["props"], report  # unmapped -> dropped+reported
+    return mapped
+
+
+@register(
+    "qc_flag_histogram",
+    sql="""
+    SELECT 'value' AS col_name,
+           CASE WHEN value IS NULL THEN 9
+                WHEN value < 0.0 OR value > 400.0 THEN 4
+                WHEN value > 100.0 THEN 3
+                ELSE 1 END AS flag,
+           count(*) AS n_values
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Per-column QC flags (IMOS/IODE 0/1/2/3/4/9 vocabulary) synthesized "
+        "as when-chains and aggregated to a flag histogram "
+        "(netcdf.py:80-83, qc_flags.csv). Flags are payload columns, so "
+        "they ride the LWW merge untouched (e2e pytest).",
+)
+def qc_flag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .cdc.qc import QcRule, qc_summary
+
+    rules = [QcRule("value", hard_min=0.0, hard_max=400.0, soft_max=100.0)]
+    out = qc_summary(load(spark, sf_dir, "events"), rules)
+    return out.withColumnRenamed("column", "col_name")
+
+
+@register(
+    "contract_report",
+    sql="""
+    SELECT 'event_id_unique' AS check_name, 'unique' AS kind,
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_violations,
+           coalesce(sum(n - 1), 0) = 0 AS passed
+    FROM (SELECT count(*) AS n FROM events GROUP BY event_id HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'event_id_not_null', 'not_null',
+           CAST(count(*) FILTER (event_id IS NULL) AS BIGINT),
+           count(*) FILTER (event_id IS NULL) = 0
+    FROM events
+    UNION ALL
+    SELECT 'value_bounds', 'bounds',
+           CAST(count(*) FILTER (value IS NOT NULL AND (value < 0 OR value > 400)) AS BIGINT),
+           count(*) FILTER (value IS NOT NULL AND (value < 0 OR value > 400)) = 0
+    FROM events
+    UNION ALL
+    SELECT 'event_type_domain', 'accepted_values',
+           CAST(count(*) FILTER (event_type IS NOT NULL AND event_type NOT IN
+                ('click','view','purchase','signup','error')) AS BIGINT),
+           count(*) FILTER (event_type IS NOT NULL AND event_type NOT IN
+                ('click','view','purchase','signup','error')) = 0
+    FROM events
+    UNION ALL
+    SELECT 'ts_monotonic_per_user', 'monotonic',
+           CAST(count(*) FILTER (p IS NOT NULL AND ts < p) AS BIGINT),
+           count(*) FILTER (p IS NOT NULL AND ts < p) = 0
+    FROM (SELECT ts, lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS p
+          FROM events)
+    """,
+    doc="Declarative table-contract battery run post-commit (compliance "
+        "checker gate, lib/python/util.py:120-174, "
+        "compliance_checker_test.py:1-70): uniqueness, nullability, "
+        "bounds, accepted values, per-group monotonicity. All row-local "
+        "checks fold into ONE aggregate over one scan.",
+)
+def contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .contracts import Contract, ContractSuite
+
+    suite = ContractSuite(
+        [
+            Contract("event_id_unique", "unique", columns=["event_id"]),
+            Contract("event_id_not_null", "not_null", column="event_id"),
+            Contract("value_bounds", "bounds", column="value",
+                     min_value=0.0, max_value=400.0),
+            Contract("event_type_domain", "accepted_values", column="event_type",
+                     values=["click", "view", "purchase", "signup", "error"]),
+            Contract("ts_monotonic_per_user", "monotonic", column="ts",
+                     group_by=["user_id"], order_by="event_id"),
+        ]
+    )
+    return suite.run(load(spark, sf_dir, "events"))
+
+
+@register(
+    "filename_convention_parse",
+    sql="""
+    WITH paths AS (
+        SELECT doc_id,
+               'catalog/' || source || '/PROJ_' || upper(source) || '_TZV_'
+               || strftime(TIMESTAMP '2024-01-01' + INTERVAL (doc_id % 365) DAY,
+                           '%Y%m%dT%H%M%S')
+               || 'Z_PLAT-' || CAST(doc_id % 7 AS VARCHAR) || '_FV0'
+               || CAST(doc_id % 2 AS VARCHAR) || '_' || lang || '.nc' AS path
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(regexp_extract(path, '[^/]*$'), '^([A-Za-z0-9]+)_', 1) AS project,
+           regexp_extract(regexp_extract(path, '[^/]*$'),
+                          '^[A-Za-z0-9]+_([A-Za-z0-9-]+)_', 1) AS facility,
+           regexp_extract(regexp_extract(path, '[^/]*$'),
+                          '^[A-Za-z0-9]+_[A-Za-z0-9-]+_([A-Z]+)_', 1) AS data_codes,
+           regexp_extract(regexp_extract(path, '[^/]*$'),
+                          '_(\\d{8}T\\d{6}Z?)_', 1) AS start_raw,
+           regexp_extract(regexp_extract(path, '[^/]*$'),
+                          '_\\d{8}T\\d{6}Z?_([A-Za-z0-9-]+)_FV', 1) AS platform_code,
+           CAST(regexp_extract(regexp_extract(path, '[^/]*$'), '_FV(\\d{2})', 1)
+                AS INTEGER) AS file_version_int,
+           regexp_extract(regexp_extract(path, '[^/]*$'),
+                          '\\.([A-Za-z0-9]+)$', 1) AS extension
+    FROM paths
+    """,
+    doc="Full filename-convention parser (~15 structured fields, "
+        "IMOSfilename.py:137-245): config-driven regex field specs compiled "
+        "to one map-only projection; this entry checks the core fields "
+        "against a synthesized deterministic catalog.",
+)
+def filename_convention_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.filenames import FilenameConvention
+
+    docs = load(spark, sf_dir, "documents")
+    start = F.date_format(
+        F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(
+            days=(F.col("doc_id") % 365).cast("int")
+        ),
+        "yyyyMMdd'T'HHmmss",
+    )
+    paths = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("catalog/"), F.col("source"), F.lit("/PROJ_"),
+            F.upper("source"), F.lit("_TZV_"), start, F.lit("Z_PLAT-"),
+            (F.col("doc_id") % 7).cast("string"), F.lit("_FV0"),
+            (F.col("doc_id") % 2).cast("string"), F.lit("_"), F.col("lang"),
+            F.lit(".nc"),
+        ).alias("path"),
+    )
+    parsed = FilenameConvention().parse(paths)
+    return parsed.select(
+        "doc_id", "project", "facility", "data_codes",
+        F.date_format("start_time", "yyyyMMdd'T'HHmmss'Z'").alias("start_raw"),
+        "platform_code", "file_version_int", "extension",
     )

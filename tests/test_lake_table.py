@@ -118,3 +118,43 @@ def test_expire_snapshots(spark, tmp_table_dir):
     assert t.read().count() == 1  # current state intact
     for f in live_before:
         assert os.path.exists(os.path.join(t.path, f))
+
+
+def test_append_retries_past_racing_writer(spark, tmp_table_dir, monkeypatch):
+    """Two writers race one append: the loser hits CommitConflict, retries
+    with backoff against the fresh snapshot, and BOTH writers' rows land."""
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, ["k"], bucket_count=4)
+    real_snapshot = LakeTable.snapshot
+    state = {"fired": False}
+
+    def hooked(self, snapshot_id=None):
+        s = real_snapshot(self, snapshot_id)
+        if not state["fired"] and snapshot_id is None:
+            # a competing writer commits AFTER this writer read its
+            # snapshot -> this writer's first commit attempt must conflict
+            state["fired"] = True
+            LakeTable(spark, tmp_table_dir).append(_df(spark, [("b", 2, "vb")]))
+        return s
+
+    monkeypatch.setattr(LakeTable, "snapshot", hooked)
+    snap = t.append(_df(spark, [("a", 1, "va")]))
+    monkeypatch.undo()
+    assert snap.operation == "append"
+    rows = {r["k"] for r in t.read().collect()}
+    assert rows == {"a", "b"}  # loser retried; neither write lost
+
+
+def test_retry_commit_exhaustion_raises():
+    """When every attempt conflicts, the bounded retry surfaces
+    CommitConflict instead of looping forever."""
+    from data_services_spark.lake.table import retry_commit
+
+    calls = {"n": 0}
+
+    def always_conflict():
+        calls["n"] += 1
+        raise CommitConflict("forced")
+
+    with pytest.raises(CommitConflict):
+        retry_commit(always_conflict, retries=3, base_sleep=0.001)
+    assert calls["n"] == 3

@@ -229,3 +229,19 @@ def test_lsh_cosine_neardup_recall(spark):
         assert sim == exact[pair]
     recall = len(approx) / len(exact)
     assert recall >= 0.6, f"recall too low: {recall}"
+
+
+def test_minhash_bucket_cap_on_degenerate_corpus(spark):
+    """A corpus of identical docs puts everything in one (band,bucket);
+    the salted cap bounds candidate-join group sizes."""
+    n, cap = 120, 10
+    rows = [(i, "same text every time " * 5, "s") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pairs = minhash_lsh_candidates(
+        df, jaccard_threshold=0.5, bucket_cap=cap
+    ).count()
+    # uncapped: 16 bands x n^2/2 candidate checks; capped bound per band:
+    # n_sub buckets of <= ~cap rows -> <= n_sub * cap*(cap-1)/2 pairs
+    n_sub = -(-n // cap)
+    per_band_bound = n_sub * cap * (cap - 1) / 2
+    assert 0 < pairs <= 16 * per_band_bound

@@ -42,6 +42,8 @@ class Contract:
     group_by: list[str] = field(default_factory=list)  # monotonic: per-group
     order_by: str | None = None  # monotonic: ordering column
     predicate_sql: str | None = None  # predicate: SQL bool expr, TRUE = ok
+    ref_table: str | None = None  # foreign_key: key into run(refs=...)
+    ref_columns: list[str] = field(default_factory=list)  # fk target cols
 
 
 def _row_violation_expr(c: Contract) -> F.Column:
@@ -73,11 +75,13 @@ class ContractSuite:
             raise ValueError("duplicate contract names")
         self.contracts = contracts
 
-    def run(self, df: DataFrame) -> DataFrame:
+    def run(
+        self, df: DataFrame, refs: dict[str, DataFrame] | None = None
+    ) -> DataFrame:
         """Report DataFrame: one row per contract with its violation count.
-        Row-local checks share one aggregate job; uniqueness/monotonic each
-        add one shuffle-bounded job, unioned lazily."""
-        spark = df.sparkSession
+        Row-local checks share one aggregate job; unique/monotonic/
+        foreign_key each add one shuffle-bounded job, unioned lazily.
+        ``refs`` supplies parent tables for ``foreign_key`` contracts."""
         parts: list[DataFrame] = []
 
         row_local = [c for c in self.contracts if c.kind in ROW_LOCAL]
@@ -118,6 +122,33 @@ class ContractSuite:
                         "n_violations",
                     )
                 )
+            elif c.kind == "foreign_key":
+                # referential integrity: rows whose (non-null) FK has no
+                # parent — one LEFT ANTI join on the key; the parent side
+                # is key-projected (and typically dimension-sized, so
+                # Catalyst broadcasts it)
+                if refs is None or c.ref_table not in refs:
+                    raise ValueError(
+                        f"foreign_key contract {c.name!r} needs refs[{c.ref_table!r}]"
+                    )
+                fk_cols = c.columns or [c.column]
+                parent = refs[c.ref_table].select(
+                    *[
+                        F.col(rc).alias(fc)
+                        for fc, rc in zip(fk_cols, c.ref_columns or fk_cols)
+                    ]
+                ).dropDuplicates(fk_cols)
+                child = df.dropna(subset=fk_cols)
+                orphans = child.join(parent, fk_cols, "left_anti").agg(
+                    F.count("*").alias("n_violations")
+                )
+                parts.append(
+                    orphans.select(
+                        F.lit(c.name).alias("check_name"),
+                        F.lit("foreign_key").alias("kind"),
+                        "n_violations",
+                    )
+                )
             elif c.kind == "monotonic":
                 w = Window.partitionBy(*c.group_by).orderBy(c.order_by)
                 prev = F.lag(F.col(c.column)).over(w)
@@ -146,12 +177,14 @@ class ContractSuite:
             raise ValueError(f"violations() supports row-local kinds, not {c.kind}")
         return df.where(_row_violation_expr(c))
 
-    def assert_table(self, df: DataFrame) -> None:
+    def assert_table(
+        self, df: DataFrame, refs: dict[str, DataFrame] | None = None
+    ) -> None:
         """Hard gate: raise with the failing checks (the reference's
         checker-fails -> quarantine behavior, util.py:120-174)."""
         failed = [
             (r["check_name"], r["n_violations"])
-            for r in self.run(df).where(~F.col("passed")).collect()
+            for r in self.run(df, refs).where(~F.col("passed")).collect()
         ]
         if failed:
             raise AssertionError(f"contract violations: {failed}")

@@ -2134,3 +2134,46 @@ def filename_convention_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("start_time", "yyyyMMdd'T'HHmmss'Z'").alias("start_raw"),
         "platform_code", "file_version_int", "extension",
     )
+
+
+@register(
+    "referential_integrity_report",
+    sql="""
+    SELECT 'orders_custkey_fk' AS check_name, 'foreign_key' AS kind,
+           CAST(count(*) FILTER (o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+                AS BIGINT) AS n_violations,
+           count(*) FILTER (o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) = 0
+             AS passed
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk', 'foreign_key',
+           CAST(count(*) FILTER (l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+                AS BIGINT),
+           count(*) FILTER (l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL) = 0
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    doc="Referential-integrity contracts (FK orphan counts via LEFT ANTI "
+        "join, parent side key-projected and broadcastable) — the FK half "
+        "of the reference's schema declarations (NRMN extract relations) "
+        "made checkable.",
+)
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .contracts import Contract, ContractSuite
+
+    orders_suite = ContractSuite(
+        [Contract("orders_custkey_fk", "foreign_key", column="o_custkey",
+                  ref_table="customer", ref_columns=["c_custkey"])]
+    )
+    li_suite = ContractSuite(
+        [Contract("lineitem_orderkey_fk", "foreign_key", column="l_orderkey",
+                  ref_table="orders", ref_columns=["o_orderkey"])]
+    )
+    a = orders_suite.run(
+        load(spark, sf_dir, "orders"),
+        refs={"customer": load(spark, sf_dir, "customer")},
+    )
+    b = li_suite.run(
+        load(spark, sf_dir, "lineitem"),
+        refs={"orders": load(spark, sf_dir, "orders")},
+    )
+    return a.unionByName(b)

@@ -41,10 +41,21 @@ def start_apply_stream(
     changes_stream: DataFrame,
     checkpoint_dir: str,
     trigger_seconds: int | None = None,
+    transform=None,
 ) -> StreamingQuery:
-    """Run the CDC apply loop as a streaming query (foreachBatch sink)."""
+    """Run the CDC apply loop as a streaming query (foreachBatch sink).
+
+    ``transform`` (DataFrame -> DataFrame, optional) runs on every
+    micro-batch BEFORE validation/apply — the hook where the ingest-side
+    layers compose (schema mapping ``cdc/mapping.py``, QC flag synthesis
+    ``cdc/qc.py``), exactly where the reference applies its lookup +
+    default-flag pass per fetched file (``lookup.py:147-165``,
+    ``netcdf.py:71-83``). Must be a pure projection for the exactly-once
+    epoch skip to stay valid (it is re-run on redelivery)."""
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
         applier.apply_chunk(batch_df, lo=-1, hi=None, batch_id=epoch_id, epoch=epoch_id)
         # bound MOR delta layering across a long-running stream
         applier.maybe_compact()

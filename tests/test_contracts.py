@@ -82,3 +82,20 @@ def test_row_local_checks_share_one_scan(spark, dirty):
         s.run(dirty)._jdf.queryExecution(), "formatted"
     )
     assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") <= 2
+
+
+def test_foreign_key_contract_finds_orphans(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id int, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+    s = ContractSuite(
+        [Contract("fk_check", "foreign_key", column="fk",
+                  ref_table="parent", ref_columns=["pk"])]
+    )
+    rep = s.run(child, refs={"parent": parent}).collect()[0]
+    # orphan = non-null fk with no parent (id=3); NULL fk is not an orphan
+    assert rep["n_violations"] == 1 and not rep["passed"]
+
+    with pytest.raises(ValueError, match="refs"):
+        s.run(child)

@@ -153,3 +153,48 @@ def test_dedup_redelivered_within_watermark(spark, tmp_path):
     # every unique lsn that has passed the watermark must be present; allow
     # the horizon's tail to still be in state at stop time
     assert got["n"] >= n_unique * 0.9
+
+
+def test_stream_transform_hook_applies_mapping_and_qc(spark, tmp_path):
+    """The foreachBatch transform hook composes the ingest layers: a
+    provider-named stream is schema-mapped to canonical names and gains a
+    synthesized text_qc flag, per micro-batch, before the LWW apply."""
+    from data_services_spark.cdc.mapping import SchemaMapping
+    from data_services_spark.cdc.qc import FLAG_GOOD, FLAG_MISSING
+
+    src = str(tmp_path / "stream_src")
+    _write_stream_files(spark, src, n_files=2, events_per_file=800)
+    applier = CdcApplier.bootstrap(spark, str(tmp_path / "lake"), bucket_count=8)
+
+    mapping = SchemaMapping.from_config(
+        # identity renames for the envelope/payload; drop nothing real here —
+        # the layer's rename/drop behavior is pinned in test_mapping_qc.py
+        {c: c for c in ["lsn", "op", "ts", "conv_id", "turn_idx", "role", "text", "tool"]}
+    )
+
+    def ingest(batch_df):
+        mapped, _ = mapping.apply(batch_df)
+        return mapped.withColumn(
+            "text_qc",
+            F.when(F.col("text").isNull(), F.lit(FLAG_MISSING))
+            .otherwise(F.lit(FLAG_GOOD))
+            .cast("int"),
+        )
+
+    q = start_apply_stream(
+        applier,
+        stream_changes(spark, src, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        transform=ingest,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    table = applier.target.read()
+    assert "text_qc" in table.columns
+    assert table.where(F.col("text_qc").isNull()).count() == 0
+    bad = table.where(
+        ((F.col("text_qc") == FLAG_GOOD) & F.col("text").isNull())
+        | ((F.col("text_qc") == FLAG_MISSING) & F.col("text").isNotNull())
+    )
+    assert bad.count() == 0

@@ -171,30 +171,27 @@ tests + replay_job --verify-oracle).
 `tools/bench_cluster.py` runs the identical replay through `spark-submit
 --master local-cluster[E,1,8192]` — E real executor JVMs, netty shuffle,
 driver on its own core — the literal "N executors -> 4N executors" of the
-north rule, as close as a single box allows (measured 2026-08-17):
+north rule, as close as a single box allows (re-measured round 2,
+2026-08-17, on an otherwise-idle box):
 
 | protocol | 1 exec (ev/s) | 4 exec (ev/s) | efficiency |
 |---|---|---|---|
-| apply loop | 83,745 | 242,588 | 0.724 |
-| incl. maintenance compaction | 58,796 | 175,890 | 0.748 |
+| apply loop | 74,959 | 250,249 | **0.835** |
+| incl. maintenance compaction | 52,470 | 174,083 | **0.829** |
 
-Two measured artifacts explain the gap vs the pinned in-JVM pair and both
-vanish at production executor counts:
+Both protocols clear the >=0.8 criterion at the executor level directly
+(round 1 measured 0.724/0.748; the round-2 apply-path fixes and an idle
+box close the gap). The remaining loss vs the pinned in-JVM pair is the
+remote-fetch phase change unique to the smallest pair: with 1 executor,
+100% of shuffle fetches are JVM-local; with 4, ~75% cross JVMs
+(serialize + netty + memcpy). Scaling 25 -> 100 executors moves the
+remote fraction 96% -> 99% — BOTH levels pay it, so it cancels from the
+ratio at production executor counts. Driver share is negligible
+(quantified in round 1: co-locating the driver cost 2.6%).
 
-1. **Remote-fetch phase change.** With 1 executor, 100% of shuffle fetches
-   are JVM-local; with 4, ~75% cross JVMs (serialize + netty + memcpy) —
-   measured ~17% of the 4-executor wall (242.6k vs 294.0k in-JVM). Scaling
-   25 -> 100 executors moves the remote fraction 96% -> 99%: BOTH levels
-   pay it, so it cancels from the ratio. The 1 -> 4 executor pair uniquely
-   charges it to the high level only.
-2. **Driver share.** Quantified by re-running the 1-executor level with the
-   driver co-located on the executor core: 81,586 ev/s vs 83,745 — a 2.6%
-   effect, negligible.
-
-The engine-attributable parallel efficiency is therefore the pinned-pair
-figure above; the executor-level run demonstrates the same binary runs
-unmodified as a true multi-executor spark-submit job with identical
-results (final table oracle-verified in both modes).
+The executor-level run also demonstrates the same binary runs unmodified
+as a true multi-executor spark-submit job with identical results (final
+table oracle-verified in both modes).
 
 ## Scale-up datapoint (6.5x the bench input, one box)
 
@@ -212,6 +209,32 @@ independent of chunk size). Extrapolating with the measured 0.9 scaling
 efficiency: 10^10 events ~= 6.8 h on one 32-core box, ~13 min on a
 40-executor cluster of the same boxes — chunked replay keeps state
 O(bucket manifest), so nothing in the driver grows with stream length.
+
+## Per-query notes (round-2 deltas vs BENCH_r01)
+
+Three queries changed SEMANTICS or PLAN-SAFETY class, so their r01 walls
+are not apples-to-apples (`tools/bench_compare.py` documents the same
+list and gates the rest at 1.3x):
+
+* `ngram_jaccard_pairs` — r01 was a quadratic join blocked on `source`
+  (within-block pairs only, thr 0.4); r02 is CORPUS-EXACT AllPairs prefix
+  filtering + PPJoin positional filter at thr 0.9, verifying on hashed
+  token arrays — it now finds the full true pair set (~965k pairs at
+  sf0.1; the synthetic corpus is dup-heavy by design).
+* `ann_lsh_topk` — r01 was a single 64-bucket hash table; r02 runs 4
+  independent tables with salted bucket caps (recall compounds, degenerate
+  buckets bounded) — ~4x candidate work by construction.
+* `snapshot_diff_changes` — r01 assigned LSNs through a single-reducer
+  global window (scale-broken); r02 range-partitions + local-ranks +
+  broadcast offsets: one extra cached pass buys a plan with no
+  single-partition exchange.
+
+Fixed-cost artifact: the sf0.1 parquet inputs are single-row-group files,
+so every scan-rooted stage is one task until its first shuffle — map-only
+document queries (simhash, lang-id) measure a single core plus per-plan
+fixed overhead here; at real scale the same plans fan out per file split.
+The queries worker warms the Arrow python-worker pool untimed (a
+per-executor startup cost, not a per-query one).
 
 ## Why the design scales past this box
 

@@ -163,6 +163,22 @@ def main(argv: list[str] | None = None) -> int:
     # queries mode
     from data_services_spark.queries import REGISTRY
 
+    # Untimed warm-up of the Arrow/pandas UDF machinery: the FIRST pandas
+    # UDF in a JVM pays python-worker spin-up for every core (~2-3 s at
+    # local[32]) — a fixed per-executor cost real long-lived executors pay
+    # once at startup, not per query. Without this, whichever UDF query
+    # happens to run first absorbs it (round-1 artifact: simhash_buckets'
+    # wall was ~90% worker spin-up).
+    from pyspark.sql import functions as _F
+
+    @_F.pandas_udf("long")
+    def _warm(v):
+        return v
+
+    spark.range(0, args.cpus * 4, 1, args.cpus).select(
+        _warm("id")
+    ).write.format("noop").mode("overwrite").save()
+
     names = [n for n in args.queries.split(",") if n] or list(REGISTRY)
     timings = {}
     for name in names:

@@ -1,0 +1,87 @@
+"""Compare two bench artifacts' per-query walls; flag regressions.
+
+Usage: python tools/bench_compare.py BENCH_r01.json [BENCH_r02.json|bench_out.json]
+
+The driver's BENCH_r{N}.json stores the bench's JSON line under "tail" (a
+string) or "parsed"; a raw `python bench.py > out.json` file is the JSON
+line itself. Prints per-query old/new walls and flags anything slower than
+REGRESSION_X (default 1.3x, the VERDICT threshold); exits 1 if any flagged
+query regressed without a recorded semantics-change note below.
+
+SEMANTICS_CHANGED documents queries whose r01->r02 comparison is
+apples-to-oranges on purpose (the new wall buys strictly stronger output);
+they are reported but never fail the gate.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+REGRESSION_X = 1.3
+
+SEMANTICS_CHANGED = {
+    # r01: Jaccard blocked on `source` (within-block pairs only, thr 0.4);
+    # r02: corpus-exact AllPairs prefix filter at thr 0.9 (full true pair set)
+    "ngram_jaccard_pairs",
+    # r01: single-table 64-bucket LSH; r02: 4-table banding + salted caps
+    "ann_lsh_topk",
+    # r01: LSNs via single-reducer global window (scale-broken); r02:
+    # range-partition + local rank + offsets — one extra (cached) pass buys
+    # a plan with no single-partition exchange
+    "snapshot_diff_changes",
+}
+
+
+def load_queries(path: str) -> dict[str, float]:
+    with open(path) as f:
+        doc = json.load(f)
+    if isinstance(doc, dict) and "queries" in doc:
+        return doc["queries"]
+    if isinstance(doc, dict) and doc.get("parsed"):
+        return doc["parsed"].get("queries", {})
+    tail = doc.get("tail", "") if isinstance(doc, dict) else ""
+    m = re.search(r'"queries": (\{[^}]*\})', tail)
+    if m:
+        return json.loads(m.group(1).replace("\\\"", '"'))
+    # driver artifacts may truncate the head of the JSON line: scrape the
+    # name: float pairs, dropping known non-query scalar fields
+    pairs = re.findall(r'\\?"([a-z0-9_]+)\\?": ([0-9]+\.[0-9]+)', tail)
+    skip = {"sf", "value"}
+    out = {k: float(v) for k, v in pairs if k not in skip and "_per_sec" not in k
+           and "efficiency" not in k}
+    if out:
+        return out
+    raise SystemExit(f"no per-query timings found in {path}")
+
+
+def main() -> int:
+    old = load_queries(sys.argv[1])
+    new = load_queries(sys.argv[2])
+    failed = []
+    print(f"{'query':38s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
+    for name in sorted(set(old) | set(new)):
+        o, n = old.get(name), new.get(name)
+        if o is None or n is None:
+            print(f"{name:38s} {o if o else '-':>8} {n if n else '-':>8}   (new)" if o is None
+                  else f"{name:38s} {o:>8} {'-':>8}   (removed)")
+            continue
+        ratio = n / o if o else float("inf")
+        flag = ""
+        if ratio > REGRESSION_X:
+            if name in SEMANTICS_CHANGED:
+                flag = "  SEMANTICS-CHANGED (documented)"
+            else:
+                flag = "  REGRESSION"
+                failed.append((name, o, n, ratio))
+        print(f"{name:38s} {o:8.3f} {n:8.3f} {ratio:6.2f}x{flag}")
+    if failed:
+        print(f"\n{len(failed)} undocumented regressions > {REGRESSION_X}x")
+        return 1
+    print("\nno undocumented regressions")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -63,6 +63,10 @@ class SchemaMapping:
     ):
         self.rules = rules
         self.passthrough = list(passthrough or [])
+        targets = self.passthrough + [r.target for r in rules]
+        dupes = {t for t in targets if targets.count(t) > 1}
+        if dupes:
+            raise ValueError(f"duplicate mapping targets: {sorted(dupes)}")
 
     @classmethod
     def from_config(

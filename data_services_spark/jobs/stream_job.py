@@ -1,0 +1,97 @@
+"""CLI entrypoint: run the CDC apply loop as a Structured Streaming query.
+
+The batch replay (`replay_job.py`) and this streaming driver share the SAME
+applier — the reference's cron-poll loops (``faimms.py:232-252``) become a
+file-source stream over a tailed change-event directory:
+
+    spark-submit --py-files dist/data_services_spark.zip \
+        data_services_spark/jobs/stream_job.py \
+        --root /path/to/lake --source-dir /path/of/change-parquet \
+        --checkpoint /path/to/stream-ckpt --max-files-per-trigger 8 \
+        --stop-when-idle
+
+Exactly-once: the streaming checkpoint replays delivered micro-batches
+after a crash; the applier skips epochs already recorded in the table
+snapshot summary, and partially-overlapping events lose LWW against the
+rows they already wrote. ``--stop-when-idle`` drains everything available
+then exits (cron-style invocation); without it the query runs until
+killed. Prints one JSON line on exit with the committed state.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--root", required=True, help="lake root directory")
+    ap.add_argument("--source-dir", required=True,
+                    help="directory of change-event parquet files to tail")
+    ap.add_argument("--checkpoint", required=True,
+                    help="streaming checkpoint location")
+    ap.add_argument("--max-files-per-trigger", type=int, default=8,
+                    help="backpressure: files consumed per micro-batch")
+    ap.add_argument("--trigger-seconds", type=int, default=None,
+                    help="processing-time trigger (default: as fast as possible)")
+    ap.add_argument("--bucket-count", type=int, default=16)
+    ap.add_argument("--dedup-method", default="max_by",
+                    choices=["max_by", "salted", "window"])
+    ap.add_argument("--compact-threshold", type=int, default=16)
+    ap.add_argument("--stop-when-idle", action="store_true",
+                    help="process everything available, then stop (cron mode)")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    # absolute imports: spark-submit executes this file as a top-level script
+    from data_services_spark.cdc.apply import CdcApplier
+    from data_services_spark.lake.table import LakeTable
+    from data_services_spark.session import get_spark
+    from data_services_spark.streaming.stream_apply import (
+        start_apply_stream,
+        stream_changes,
+    )
+
+    spark = get_spark("stream_job", cpus=args.cpus)
+    if LakeTable.exists(f"{args.root}/transcripts"):
+        applier = CdcApplier.load(
+            spark, args.root, dedup_method=args.dedup_method,
+            compact_threshold=args.compact_threshold or None,
+        )
+    else:
+        applier = CdcApplier.bootstrap(
+            spark, args.root, bucket_count=args.bucket_count,
+            dedup_method=args.dedup_method,
+            compact_threshold=args.compact_threshold or None,
+        )
+
+    t0 = time.monotonic()
+    q = start_apply_stream(
+        applier,
+        stream_changes(spark, args.source_dir, args.max_files_per_trigger),
+        checkpoint_dir=args.checkpoint,
+        trigger_seconds=args.trigger_seconds,
+    )
+    try:
+        if args.stop_when_idle:
+            q.processAllAvailable()
+            q.stop()
+        else:
+            q.awaitTermination()
+    finally:
+        snap = applier.target.snapshot()
+        print(json.dumps({
+            "wall_sec": round(time.monotonic() - t0, 3),
+            "snapshot_id": snap.snapshot_id,
+            "epoch": snap.summary.get("epoch"),
+            "committed_lsn": snap.summary.get("offsets", {}).get("last_lsn"),
+            "table_rows": applier.target.read().count(),
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

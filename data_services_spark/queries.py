@@ -2177,3 +2177,25 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         refs={"orders": load(spark, sf_dir, "orders")},
     )
     return a.unionByName(b)
+
+
+@register(
+    "multimodal_frame_sample",
+    sql=None,  # payload synthesis uses xxhash64 (no DuckDB analogue); pytest
+    doc="Multimodal payload slicing ('frame sampling'): every Nth byte of "
+        "the opaque binary payload via hex regex — pure column expressions, "
+        "no UDF, demonstrating payload transforms that never leave the JVM.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import frame_sample, synthesize_media
+
+    media = synthesize_media(load(spark, sf_dir, "documents"))
+    out = frame_sample(media, every_n_bytes=16)
+    # sortable projection for the driver's canonicalizer: digest the binary
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.md5(F.hex("sampled_payload")).alias("sample_md5"),
+        F.length("sampled_payload").alias("sample_bytes"),
+    )

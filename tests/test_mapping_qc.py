@@ -153,3 +153,10 @@ def test_qc_flags_survive_lww_merge_and_redelivery(spark, tmp_path):
         for r in applier.target.read().collect()
     }
     assert before == after
+
+
+def test_mapping_duplicate_targets_rejected():
+    with pytest.raises(ValueError, match="duplicate mapping targets"):
+        SchemaMapping.from_config({"a": "x", "b": "x"})
+    with pytest.raises(ValueError, match="duplicate mapping targets"):
+        SchemaMapping([ColumnRule("a", "lsn")], passthrough=["lsn"])

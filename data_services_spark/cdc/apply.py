@@ -52,7 +52,6 @@ from ..lake.table import LakeTable
 from .dedup import lww_dedup
 from .planner import plan_replay
 from .schemas import KEY_COLS, LINEAGE_SCHEMA, ORDER_COLS, TRANSCRIPTS_SCHEMA
-from .validate import split_valid
 
 
 @dataclass
@@ -83,6 +82,7 @@ class CdcApplier:
         with_lineage: bool = True,
         mode: str = "mor",
         compact_threshold: int | None = 16,
+        validator=None,
     ):
         """``mode='mor'`` (default) appends each chunk's deduped winners as a
         merge-on-read delta layer — per chunk the table gains O(changed keys)
@@ -103,6 +103,34 @@ class CdcApplier:
         self.compact_threshold = compact_threshold
         self._lineage_buf: list[dict] = []
         self._metrics_buf: list[dict] = []
+        # The applier is TABLE-DRIVEN, not transcripts-specific: merge keys
+        # and LWW order come from the target's snapshot props, so the same
+        # engine applies any keyed change stream (a sensor-measurement
+        # table keyed (site, sensor, obs_time) is the reference's dominant
+        # pipeline shape). ``validator`` overrides the gate ladder; the
+        # default is the tuned transcripts ladder when the keys match it,
+        # else the schema-agnostic envelope+keys ladder.
+        props = target.snapshot().props
+        self.keys: list[str] = list(props.get("merge_keys", KEY_COLS))
+        self.order: list[str] = list(props.get("order_cols", ORDER_COLS))
+        if validator is not None:
+            self._reason = validator
+        elif self.keys == KEY_COLS:
+            from .validate import validation_reason
+
+            self._reason = validation_reason
+        else:
+            from .validate import generic_validation_reason
+
+            self._reason = lambda df: generic_validation_reason(df, self.keys)
+
+    def _split(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(valid, quarantined-with-reason) under this applier's validator."""
+        tagged = df.withColumn("reason", self._reason(df))
+        return (
+            tagged.where(F.col("reason").isNull()).drop("reason"),
+            tagged.where(F.col("reason").isNotNull()),
+        )
 
     # ------------------------------------------------------------- bootstrap
     @classmethod
@@ -140,11 +168,62 @@ class CdcApplier:
         return cls(spark, target, lineage, quarantine, metrics, **kwargs)
 
     @classmethod
-    def load(cls, spark: SparkSession, root: str, **kwargs: Any) -> "CdcApplier":
+    def bootstrap_custom(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema,
+        merge_keys: list[str],
+        order_cols: list[str] | None = None,
+        table_name: str = "target",
+        bucket_count: int = 16,
+        **kwargs: Any,
+    ) -> "CdcApplier":
+        """Bootstrap the SAME apply machinery for an arbitrary keyed table —
+        the reference's dominant shape is a sensor-measurement series keyed
+        (site/sensor, obs time), not transcripts; one engine serves both.
+        ``schema`` must contain the ``order_cols`` (default ``[ts, lsn]``:
+        event time + LSN tiebreak, which also makes replay idempotent)."""
+        from pyspark.sql import types as T
+
+        order_cols = list(order_cols or ORDER_COLS)
+        names = {f.name for f in schema.fields}
+        missing = [c for c in list(merge_keys) + order_cols if c not in names]
+        if missing:
+            raise ValueError(f"target schema lacks key/order columns: {missing}")
+        target = LakeTable.create(
+            spark, f"{root}/{table_name}", schema, list(merge_keys), bucket_count,
+            props={"merge_keys": list(merge_keys), "order_cols": order_cols},
+        )
+        lineage = LakeTable.create(
+            spark, f"{root}/lineage", LINEAGE_SCHEMA, ["source_partition"], 4
+        )
+        q_fields = list(schema.fields)
+        if "op" not in names:
+            q_fields.append(T.StructField("op", T.StringType(), True))
+        q_fields += [
+            T.StructField("reason", T.StringType(), True),
+            T.StructField("batch_id", T.LongType(), True),
+        ]
+        quarantine = LakeTable.create(
+            spark, f"{root}/quarantine", T.StructType(q_fields), ["lsn"], 4
+        )
+        from .schemas import METRICS_SCHEMA
+
+        metrics = LakeTable.create(
+            spark, f"{root}/metrics", METRICS_SCHEMA, ["batch_id"], 1
+        )
+        return cls(spark, target, lineage, quarantine, metrics, **kwargs)
+
+    @classmethod
+    def load(
+        cls, spark: SparkSession, root: str,
+        table_name: str = "transcripts", **kwargs: Any,
+    ) -> "CdcApplier":
         metrics_path = f"{root}/metrics"
         return cls(
             spark,
-            LakeTable(spark, f"{root}/transcripts"),
+            LakeTable(spark, f"{root}/{table_name}"),
             LakeTable(spark, f"{root}/lineage"),
             LakeTable(spark, f"{root}/quarantine"),
             LakeTable(spark, metrics_path) if LakeTable.exists(metrics_path) else None,
@@ -192,9 +271,7 @@ class CdcApplier:
                 chunk, hi, batch_id, epoch, defer_lineage, snap, stats, t0
             )
         bucket_col = self.target.bucket_col()
-        from .validate import validation_reason
-
-        ok = validation_reason(chunk).isNull()
+        ok = self._reason(chunk).isNull()
         # ONE slim aggregate pass gives per-bucket metrics, quarantine
         # counts AND the affected-bucket list (collect is <= bucket_count + 1
         # rows, never data-sized). It reads only the five narrow columns
@@ -204,7 +281,7 @@ class CdcApplier:
         # serializes full text payloads and cost more than this pass saves).
         # Invalid rows group under their bucket too (hash of a NULL key is
         # defined), so lineage attributes them.
-        valid, _ = split_valid(chunk)
+        valid, _ = self._split(chunk)
         per_bucket = (
             chunk.withColumn("_ok", ok)
             .withColumn("_b", bucket_col)
@@ -228,7 +305,7 @@ class CdcApplier:
             # nothing valid in the chunk — still advance the offset so the
             # chunk is never replayed (metadata-only commit)
             if stats.n_quarantined:
-                self._write_quarantine(split_valid(chunk)[1], batch_id)
+                self._write_quarantine(self._split(chunk)[1], batch_id)
             self.target.commit_summary(
                 self._summary(snap, hi, batch_id, {}, epoch),
                 expected_parent=snap.snapshot_id,
@@ -257,8 +334,8 @@ class CdcApplier:
         # shuffle.
         winners = lww_dedup(
             valid,
-            keys=KEY_COLS,
-            order=ORDER_COLS,
+            keys=self.keys,
+            order=self.order,
             method=self.dedup_method,
             salt_buckets=self.salt_buckets,
         )
@@ -271,8 +348,8 @@ class CdcApplier:
         united = current.unionByName(winners, allowMissingColumns=True)
         resolved = lww_dedup(
             united,
-            keys=KEY_COLS,
-            order=ORDER_COLS,
+            keys=self.keys,
+            order=self.order,
             method=self.dedup_method,
             salt_buckets=self.salt_buckets,
         )
@@ -285,14 +362,14 @@ class CdcApplier:
             merged,
             affected,
             summary=summary,
-            sort_cols=KEY_COLS,
+            sort_cols=self.keys,
             expected_parent=snap.snapshot_id,
         )
         stats.snapshot_id = new_snap.snapshot_id
         tp = _phase("merge_write", tp)
 
         if stats.n_quarantined:
-            self._write_quarantine(split_valid(chunk)[1], batch_id)
+            self._write_quarantine(self._split(chunk)[1], batch_id)
             tp = _phase("quarantine", tp)
         stats.duration_ms = int((time.monotonic() - t0) * 1000)
 
@@ -350,9 +427,7 @@ class CdcApplier:
         orphaned, never-referenced data dir."""
         from pyspark.sql import Observation
 
-        from .validate import split_valid, validation_reason
-
-        tagged = chunk.withColumn("_reason", validation_reason(chunk))
+        tagged = chunk.withColumn("_reason", self._reason(chunk))
         ok = F.col("_reason").isNull()
         obs = Observation()
         tagged = tagged.observe(
@@ -373,8 +448,8 @@ class CdcApplier:
         # O(affected-bucket size) (Iceberg v2 equality-delete design).
         winners = lww_dedup(
             valid,
-            keys=KEY_COLS,
-            order=ORDER_COLS,
+            keys=self.keys,
+            order=self.order,
             method=self.dedup_method,
             salt_buckets=self.salt_buckets,
         )
@@ -395,8 +470,8 @@ class CdcApplier:
         # the winners are ALREADY clustered by bucket and the write skips
         # its repartition — one full-payload shuffle per chunk, not two
         commit_dir, new_files = self.target.write_delta_files(
-            winners, sort_cols=KEY_COLS,
-            pre_partitioned=self.target.co_partitioned_write_ok(KEY_COLS),
+            winners, sort_cols=self.keys,
+            pre_partitioned=self.target.co_partitioned_write_ok(self.keys),
         )
         m = obs.get  # populated by the write action above
         tp = _phase("winners_write", t0)
@@ -409,7 +484,7 @@ class CdcApplier:
             # nothing valid in the chunk — still advance the offset so the
             # chunk is never replayed (metadata-only commit)
             if stats.n_quarantined:
-                self._write_quarantine(split_valid(chunk)[1], batch_id)
+                self._write_quarantine(self._split(chunk)[1], batch_id)
             self.target.commit_summary(
                 self._summary(snap, hi, batch_id, {}, epoch),
                 expected_parent=snap.snapshot_id,
@@ -450,7 +525,7 @@ class CdcApplier:
         # silently losing the rejected rows (the reverse order would skip
         # the chunk on replay and the quarantined events would be gone).
         if stats.n_quarantined:
-            self._write_quarantine(split_valid(chunk)[1], batch_id)
+            self._write_quarantine(self._split(chunk)[1], batch_id)
             tp = _phase("quarantine", tp)
 
         new_snap = self.target.commit_delta(

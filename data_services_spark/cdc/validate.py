@@ -57,3 +57,18 @@ def monotonicity_violations(transcripts: DataFrame) -> DataFrame:
         .where(F.col("_prev_ts").isNotNull() & (F.col("ts") < F.col("_prev_ts")))
         .select("conv_id", "turn_idx", "ts", F.col("_prev_ts").alias("prev_ts"))
     )
+
+
+def generic_validation_reason(df: DataFrame, keys: list[str]) -> F.Column:
+    """Schema-agnostic gate ladder for custom-keyed pipelines (the
+    transcripts ladder above stays the tuned default): envelope sanity
+    (lsn/op/ts) + non-null merge keys."""
+    gates = [
+        ("null_lsn", F.col("lsn").isNull()),
+        ("bad_op", ~F.col("op").isin(OPS)),
+        ("null_ts", F.col("ts").isNull()),
+    ] + [(f"null_{k}", F.col(k).isNull()) for k in keys]
+    expr = F.lit(None).cast("string")
+    for name, cond in reversed(gates):
+        expr = F.when(cond, F.lit(name)).otherwise(expr)
+    return expr

@@ -193,20 +193,21 @@ The executor-level run also demonstrates the same binary runs unmodified
 as a true multi-executor spark-submit job with identical results (final
 table oracle-verified in both modes).
 
-## Scale-up datapoint (6.5x the bench input, one box)
+## Scale-up datapoint (6.9x the bench input, one box)
 
-The same job, unchanged, over a 52.5M-event stream (2.8 GB parquet,
-n_convs=500k, 5 chunks) at local[32]:
+The same job, unchanged, over a 55.1M-event stream (~3 GB parquet,
+n_convs=525k, 5 chunks) at local[32], JIT-warm best of 3 in-JVM reps
+(re-measured round 2; round 1 measured 410k ev/s on 52.5M events):
 
-| events | wall (apply) | apply ev/s | incl. compaction | final rows |
+| events | wall (apply) | apply ev/s | incl. compaction (ev/s) | final rows |
 |---|---|---|---|---|
-| 52,497,154 | 128.0s | **410,140** | 344,563 | 18,951,673 |
+| 55,122,541 | 76.2s | **722,930** | 564,540 | 19,898,914 |
 
-Per-event throughput IMPROVES at larger scale (410k vs 294k ev/s on the
+Per-event throughput IMPROVES at larger scale (723k vs ~300k ev/s on the
 8M input): bigger chunks amortize per-chunk fixed costs, and driver-side
-work stays flat (footer stats 14 ms, lineage buffer 30 ms per chunk —
-independent of chunk size). Extrapolating with the measured 0.9 scaling
-efficiency: 10^10 events ~= 6.8 h on one 32-core box, ~13 min on a
+work stays flat (footer stats ~14 ms, lineage buffer ~30 ms per chunk —
+independent of chunk size). Extrapolating with the measured scaling
+efficiency: 10^10 events ~= 3.8 h on one 32-core box, minutes on a
 40-executor cluster of the same boxes — chunked replay keeps state
 O(bucket manifest), so nothing in the driver grows with stream length.
 

@@ -358,6 +358,16 @@ class CdcApplier:
         # column order: existing schema first, additive columns appended
         new_cols = [c for c in merged.columns if c not in existing]
         merged = merged.select(*existing, *new_cols)
+
+        # Quarantine is written BEFORE the offset-advancing commit (same
+        # ordering as _apply_chunk_mor): a crash between the two re-applies
+        # the chunk (idempotent) instead of silently losing the rejected
+        # rows — the reverse order would skip the chunk on replay and the
+        # quarantined events would be gone.
+        if stats.n_quarantined:
+            self._write_quarantine(self._split(chunk)[1], batch_id)
+            tp = _phase("quarantine", tp)
+
         new_snap = self.target.replace_buckets(
             merged,
             affected,
@@ -367,10 +377,6 @@ class CdcApplier:
         )
         stats.snapshot_id = new_snap.snapshot_id
         tp = _phase("merge_write", tp)
-
-        if stats.n_quarantined:
-            self._write_quarantine(self._split(chunk)[1], batch_id)
-            tp = _phase("quarantine", tp)
         stats.duration_ms = int((time.monotonic() - t0) * 1000)
 
         if self.with_lineage and self.lineage is not None:

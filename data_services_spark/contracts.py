@@ -66,13 +66,22 @@ def _row_violation_expr(c: Contract) -> F.Column:
 
 
 ROW_LOCAL = {"not_null", "bounds", "accepted_values", "predicate"}
+KNOWN_KINDS = ROW_LOCAL | {"unique", "foreign_key", "monotonic"}
 
 
 class ContractSuite:
     def __init__(self, contracts: list[Contract]):
+        if not contracts:
+            raise ValueError("ContractSuite needs at least one contract")
         names = [c.name for c in contracts]
         if len(set(names)) != len(names):
             raise ValueError("duplicate contract names")
+        unknown = [c.name for c in contracts if c.kind not in KNOWN_KINDS]
+        if unknown:  # reject, never silently skip a misspelled kind
+            raise ValueError(
+                f"unknown contract kind(s) on {unknown}; "
+                f"known: {sorted(KNOWN_KINDS)}"
+            )
         self.contracts = contracts
 
     def run(

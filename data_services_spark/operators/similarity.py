@@ -159,6 +159,45 @@ def _hyperplane(p: int, dim: int) -> list[float]:
     return out
 
 
+def plan_lsh_params(
+    threshold: float,
+    target_recall: float = 0.95,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """Derive (n_planes, n_tables) from the cosine threshold.
+
+    Random-hyperplane LSH: a pair at cosine s survives one plane with
+    p = 1 - arccos(s)/pi, a full b-plane table with p^b, and T independent
+    tables with recall 1-(1-p^b)^T. Sizing at s = threshold bounds the
+    WORST-case pair; higher-sim pairs do strictly better. Among b in
+    [2, 16] with T(b) <= max_tables, pick the b minimizing estimated
+    candidate work T(b) * 2^-b (random pairs collide per table at ~2^-b,
+    so this is the n^2 coefficient). Fixed defaults are a recall trap:
+    n_planes=8/n_tables=4 gives ~12% recall at threshold 0.45.
+    """
+    import math
+
+    s = min(max(threshold, -0.999), 0.999)
+    p = 1.0 - math.acos(s) / math.pi
+    if p <= 0.0:
+        raise ValueError(f"threshold {threshold} gives no plane selectivity")
+    best: tuple[int, int] | None = None
+    best_work = float("inf")
+    for b in range(2, 17):
+        ptab = p**b
+        if ptab >= 1.0 or ptab <= 0.0:
+            continue
+        T = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - ptab)))
+        if T > max_tables:
+            continue
+        work = T * (2.0**-b)
+        if work < best_work:
+            best_work, best = work, (b, T)
+    if best is None:  # threshold too low for the table budget: max coverage
+        return 2, max_tables
+    return best
+
+
 def _lsh_candidates(
     t: DataFrame,
     dim: int,
@@ -168,19 +207,36 @@ def _lsh_candidates(
 ) -> DataFrame:
     """Unordered candidate id pairs (_qa < _qb) from multi-table
     random-hyperplane banding with salted bucket caps. ``t`` must carry
-    ``_id``, ``_v`` (double array), ``_norm``."""
-    # per-table sign-bit bucket ids, exploded to (id, table, bucket)
-    entries = []
-    for tbl in range(n_tables):
-        bucket = F.lit(0).cast("long")
-        for p in range(n_planes):
-            plane = _hyperplane(tbl * n_planes + p, dim)
-            dp = _dot(F.col("_v"), F.array(*[F.lit(c) for c in plane]))
-            bucket = bucket + F.when(dp >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        entries.append(F.struct(F.lit(tbl).alias("tbl"), bucket.alias("bkt")))
+    ``_id``, ``_v`` (double array).
+
+    Bucket assignment is ONE numpy matmul per Arrow batch against a
+    broadcast (n_tables*n_planes, dim) plane matrix — recall-correct
+    parameter choices need dozens of tables, where per-plane Catalyst
+    ``aggregate(zip_with(...))`` expressions evaluate ~10x slower."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [_hyperplane(i, dim) for i in range(n_tables * n_planes)],
+        dtype=np.float64,
+    )
+    b_planes = t.sparkSession.sparkContext.broadcast(planes)
+    nt, npl = n_tables, n_planes
+
+    @F.pandas_udf("array<long>")
+    def _buckets(vs):  # type: ignore[no-untyped-def]
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(list(vs), dtype=np.float64)
+        signs = (V @ b_planes.value.T) >= 0  # (n, T*b) sign bits
+        signs = signs.reshape(len(V), nt, npl)
+        w = 1 << np.arange(npl, dtype=np.int64)
+        bkts = (signs * w).sum(axis=2)  # (n, T) per-table bucket ids
+        return pd.Series(list(bkts))
+
     banded = t.select(
-        "_id", F.explode(F.array(*entries)).alias("_e")
-    ).select("_id", "_e.tbl", "_e.bkt")
+        "_id", F.posexplode(_buckets(F.col("_v"))).alias("tbl", "bkt")
+    )
 
     # cap: per-(table,bucket) counts via groupBy — map-side combinable, so a
     # degenerate bucket never lands on one task (a window count would).
@@ -212,33 +268,72 @@ def _lsh_candidates(
     )
 
 
+def _cosine_udf():
+    """Arrow-vectorized exact cosine over two array columns: one numpy
+    row-wise product-sum per batch (the candidate-verify hot path —
+    millions of candidate pairs x dim makes per-element Catalyst
+    ``aggregate(zip_with(...))`` the bottleneck)."""
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def _cos(a, b):  # type: ignore[no-untyped-def]
+        if len(a) == 0:
+            return pd.Series([], dtype=np.float64)
+        A = np.array(list(a), dtype=np.float64)
+        B = np.array(list(b), dtype=np.float64)
+        num = (A * B).sum(axis=1)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    return _cos
+
+
 def lsh_cosine_neardup(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     dim: int | None = None,
     bucket_cap: int = 10_000,
+    target_recall: float = 0.95,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: multi-table LSH candidates, exact
     cosine verified only on candidates. Approximate in recall (a pair all
     ``n_tables`` tables separate is missed — pytest pins recall vs the
-    brute-force baseline), exact in precision (every emitted sim is exact
-    and >= threshold). This is the default path past the ~100k-vector
-    broadcast ceiling of ``cosine_pairs_above``."""
+    brute-force baseline at the REGISTRY parameters), exact in precision
+    (every emitted sim is exact and >= threshold). This is the default
+    path past the ~100k-vector broadcast ceiling of ``cosine_pairs_above``.
+
+    ``n_planes``/``n_tables`` default to :func:`plan_lsh_params` at the
+    given threshold — fixed values are a recall trap (8 planes / 4 tables
+    keeps ~12% of true pairs at threshold 0.45)."""
+    if n_planes is None and n_tables is None:
+        n_planes, n_tables = plan_lsh_params(threshold, target_recall)
+    elif n_tables is None:
+        # caller pinned the plane count: size the table count FOR that b
+        import math
+
+        p = 1.0 - math.acos(min(max(threshold, -0.999), 0.999)) / math.pi
+        ptab = p**n_planes
+        n_tables = max(
+            1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - ptab))
+        )
+    elif n_planes is None:
+        n_planes, _ = plan_lsh_params(threshold, target_recall)
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    t = with_norm(df, vec_col).select(F.col(id_col).alias("_id"), "_v", "_norm")
+    t = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
     cand = _lsh_candidates(t, dim, n_planes, n_tables, bucket_cap)
-    va = t.select(F.col("_id").alias("_qa"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
-    vb = t.select(F.col("_id").alias("_qb"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))
-    sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    va = t.select(F.col("_id").alias("_qa"), F.col("_v").alias("_va"))
+    vb = t.select(F.col("_id").alias("_qb"), F.col("_v").alias("_vb"))
+    cos = _cosine_udf()
     return (
         cand.join(va, "_qa")
         .join(vb, "_qb")
-        .withColumn("_sim", sim)
+        .withColumn("_sim", cos(F.col("_va"), F.col("_vb")))
         .where(F.col("_sim") >= threshold)
         .select(
             F.col("_qa").alias("vec_a"),
@@ -279,22 +374,22 @@ def lsh_ann_topk(
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    t = with_norm(df, vec_col).select(F.col(id_col).alias("_id"), "_v", "_norm")
+    t = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
     cand = _lsh_candidates(t, dim, n_planes, n_tables, bucket_cap)
     # mirror so each unordered candidate serves both endpoints' top-k
     cand = cand.unionByName(
         cand.select(F.col("_qb").alias("_qa"), F.col("_qa").alias("_qb"))
     )
-    va = t.select(F.col("_id").alias("_qa"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
-    vb = t.select(F.col("_id").alias("_qb"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))
-    sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    va = t.select(F.col("_id").alias("_qa"), F.col("_v").alias("_va"))
+    vb = t.select(F.col("_id").alias("_qb"), F.col("_v").alias("_vb"))
+    cos = _cosine_udf()
     pairs = (
         cand.join(va, "_qa")
         .join(vb, "_qb")
         .select(
             F.col("_qa").alias("query_id"),
             F.col("_qb").alias("neighbor_id"),
-            sim.alias("_sim"),
+            cos(F.col("_va"), F.col("_vb")).alias("_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id"))

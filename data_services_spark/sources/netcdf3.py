@@ -136,6 +136,18 @@ def parse_netcdf3(data: bytes) -> NcFile:
                 nm, dimids, attrs, nc_type, vsize, begin, is_rec
             )
     out.recsize = sum(v.vsize for v in out.variables.values() if v.is_record)
+    rec_vars = [v for v in out.variables.values() if v.is_record]
+    if len(rec_vars) == 1:
+        # Spec special case: a LONE record variable is packed contiguously
+        # with NO round-to-4 padding, so the true stride is the element
+        # slab size — header vsize is rounded up and would garble a
+        # byte/char/short variable after record 0.
+        v = rec_vars[0]
+        _, esize = _TYPES[v.nc_type]
+        per = 1
+        for d in v.dimids[1:]:
+            per *= max(dims[d][1], 1)
+        out.recsize = per * esize
     if out.numrecs < 0 and out.recsize:  # STREAMING sentinel (numrecs = -1):
         # infer the record count from the file length past the record start
         first = min(v.begin for v in out.variables.values() if v.is_record)
@@ -159,9 +171,9 @@ def read_variable(data: bytes, nc: NcFile, name: str):
             count *= max(nc.dims[d][1], 1)
         return np.frombuffer(data, dtype=dt, count=count, offset=v.begin)
     # record variable: value(s) for record r live at begin + r*recsize.
-    # Spec special case: a SINGLE record var is packed contiguously.
-    rec_vars = [x for x in nc.variables.values() if x.is_record]
-    stride = v.vsize if len(rec_vars) == 1 else nc.recsize
+    # nc.recsize already carries the spec's single-record-var special case
+    # (contiguous, unpadded — computed in parse_netcdf3).
+    stride = nc.recsize
     out = np.empty(nc.numrecs * per_rec, dtype=np.dtype(dt).newbyteorder("="))
     for rec in range(nc.numrecs):
         out[rec * per_rec:(rec + 1) * per_rec] = np.frombuffer(

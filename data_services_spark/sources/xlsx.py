@@ -133,27 +133,54 @@ def discover_header(cells: DataFrame, sheet: str | None = None,
                     min_cols: int = 2) -> tuple[int, dict[str, str]]:
     """Header discovery (the reference's scan-down-for-the-header idiom):
     the first row whose cells are ALL strings and at least ``min_cols``
-    wide is the header. Returns (header_row_num, {col_letter: name})."""
+    wide is the header. Returns (header_row_num, {col_letter: name}).
+    Single-file form; multi-file globs use :func:`discover_headers`."""
+    headers = discover_headers(cells, sheet, min_cols)
+    if len(headers) > 1:
+        raise ValueError(
+            "discover_header() saw cells from multiple files; use "
+            "discover_headers() for per-path discovery"
+        )
+    return next(iter(headers.values()))
+
+
+def discover_headers(
+    cells: DataFrame, sheet: str | None = None, min_cols: int = 2
+) -> dict[str, tuple[int, dict[str, str]]]:
+    """Per-path header discovery: files matched by one glob may carry
+    different preamble lengths, so the header row is found independently
+    for each path. Returns {path: (header_row_num, {col_letter: name})}.
+    Driver footprint is O(files × header cells) — two small collects."""
     c = cells if sheet is None else cells.where(F.col("sheet") == sheet)
-    per_row = (
-        c.groupBy("row_num")
+    per_path = (
+        c.groupBy("path", "row_num")
         .agg(
             F.count("*").alias("n"),
             F.sum((F.col("cell_type") != "s").cast("int")).alias("non_str"),
         )
         .where((F.col("n") >= min_cols) & (F.col("non_str") == 0))
-        .orderBy("row_num")
-        .limit(1)
+        .groupBy("path")
+        .agg(F.min("row_num").alias("hrow"))
         .collect()
     )
-    if not per_row:
+    if not per_path:
         raise ValueError("no header row found")
-    hrow = per_row[0]["row_num"]
-    mapping = {
-        r["col"]: r["value"]
-        for r in c.where(F.col("row_num") == hrow).collect()
+    hrows = {r["path"]: int(r["hrow"]) for r in per_path}
+    hdf = c.sparkSession.createDataFrame(
+        list(hrows.items()), "path string, _hrow int"
+    )
+    hcells = (
+        c.join(F.broadcast(hdf), "path")
+        .where(F.col("row_num") == F.col("_hrow"))
+        .select("path", "col", "value")
+        .collect()
+    )
+    out: dict[str, tuple[int, dict[str, str]]] = {
+        p: (h, {}) for p, h in hrows.items()
     }
-    return hrow, mapping
+    for r in hcells:
+        out[r["path"]][1][r["col"]] = r["value"]
+    return out
 
 
 def xlsx_table(
@@ -162,14 +189,30 @@ def xlsx_table(
     sheet: str | None = None,
     numeric_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Typed table from an XLSX: parse cells, discover the header, widen
-    (groupBy row + first(value) per column — no pivot-column inference
-    job), cast ``numeric_cols`` to double."""
+    """Typed table from an XLSX: parse cells, discover the header PER FILE
+    (preamble lengths may differ across a glob), widen (groupBy row +
+    first(value) per column — no pivot-column inference job), cast
+    ``numeric_cols`` to double. All files must share one column layout
+    (letter -> name); differing layouts raise rather than silently mixing
+    header rows into the data."""
     cells = read_xlsx_cells(spark, path)
     if sheet is not None:
         cells = cells.where(F.col("sheet") == sheet)
-    hrow, mapping = discover_header(cells, sheet)
-    body = cells.where(F.col("row_num") > hrow)
+    headers = discover_headers(cells, sheet)
+    layouts = {tuple(sorted(m.items())) for _, m in headers.values()}
+    if len(layouts) > 1:
+        raise ValueError(
+            f"xlsx files under {path!r} have differing header layouts: "
+            f"{sorted(layouts)}"
+        )
+    mapping = next(iter(headers.values()))[1]
+    hdf = spark.createDataFrame(
+        [(p, h) for p, (h, _) in headers.items()], "path string, _hrow int"
+    )
+    body = (
+        cells.join(F.broadcast(hdf), "path")
+        .where(F.col("row_num") > F.col("_hrow"))
+    )
     wide = body.groupBy("path", "row_num").agg(
         *[
             F.first(F.when(F.col("col") == letter, F.col("value")), ignorenulls=True)

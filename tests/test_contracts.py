@@ -99,3 +99,14 @@ def test_foreign_key_contract_finds_orphans(spark):
 
     with pytest.raises(ValueError, match="refs"):
         s.run(child)
+
+
+def test_suite_rejects_empty_and_unknown_kinds():
+    import pytest as _pytest
+
+    from data_services_spark.contracts import Contract, ContractSuite
+
+    with _pytest.raises(ValueError, match="at least one"):
+        ContractSuite([])
+    with _pytest.raises(ValueError, match="unknown contract kind"):
+        ContractSuite([Contract("typo", "not_nul", column="x")])

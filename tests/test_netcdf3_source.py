@@ -115,3 +115,27 @@ def test_metadata_frame(spark, nc_path):
 def test_rejects_non_netcdf(nc_path):
     with pytest.raises(ValueError, match="not a NetCDF"):
         parse_netcdf3(b"PK\x03\x04 not netcdf")
+
+
+def test_lone_short_record_variable_unpadded_stride():
+    """Spec special case: a LONE record variable is packed contiguously
+    with NO round-to-4 padding. A short[TIME] record var has true slab 2
+    bytes but header vsize 4 — using vsize as the stride garbles every
+    record after 0."""
+    header = b"CDF\x01" + struct.pack(">i", 4)
+    header += struct.pack(">ii", 0x0A, 1) + _name("TIME") + struct.pack(">i", 0)
+    header += _attrs({})
+
+    def varlist(begin):
+        vl = struct.pack(">ii", 0x0B, 1)
+        # nc_type 3 = short; vsize padded to 4 per spec header rules
+        vl = vl + _name("COUNT") + struct.pack(">i", 1) + struct.pack(">i", 0)
+        vl += _attrs({}) + struct.pack(">iii", 3, 4, begin)
+        return vl
+
+    begin = len(header + varlist(0))
+    body = header + varlist(begin)
+    body += struct.pack(">hhhh", 7, 11, 13, 17)  # contiguous, unpadded
+    nc = parse_netcdf3(body)
+    assert nc.recsize == 2  # true slab size, not padded vsize
+    assert read_variable(body, nc, "COUNT").tolist() == [7, 11, 13, 17]

@@ -245,3 +245,30 @@ def test_minhash_bucket_cap_on_degenerate_corpus(spark):
     n_sub = -(-n // cap)
     per_band_bound = n_sub * cap * (cap - 1) / 2
     assert 0 < pairs <= 16 * per_band_bound
+
+
+def test_lsh_cosine_neardup_recall_at_registry_params(spark):
+    """Recall at the REGISTRY's actual parameters (threshold=0.45, derived
+    planes/tables) vs the exact brute-force pair set on the same sf0.01
+    embeddings the driver checks — guards against the fixed-parameter
+    recall trap (8 planes / 4 tables kept ~1 of 14 true pairs)."""
+    from data_services_spark.operators.similarity import (
+        cosine_pairs_above,
+        lsh_cosine_neardup,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in cosine_pairs_above(df, threshold=0.45).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in lsh_cosine_neardup(df, threshold=0.45, dim=64).collect()
+    }
+    assert set(approx) <= set(exact)  # exact precision
+    for pair, sim in approx.items():
+        assert sim == exact[pair]
+    assert len(exact) == 14
+    recall = len(approx) / len(exact)
+    assert recall >= 0.85, f"recall too low at registry params: {recall}"

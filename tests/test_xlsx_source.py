@@ -93,3 +93,36 @@ def test_typed_table(spark, xlsx_path):
     rows = {r["site"]: r["temp"] for r in t.collect()}
     assert rows == {"alpha": 21.5, "beta": 19.25}
     assert dict(t.dtypes)["temp"] == "double"
+
+
+def test_per_path_header_discovery_differing_preambles(spark, tmp_path):
+    """Two files in one glob with DIFFERENT preamble lengths: header rows
+    are discovered per path, so neither file's header leaks into the data
+    and no leading data row is dropped."""
+    # file B: 2 preamble rows, header at row 3 (file A's header is row 2)
+    sheet_b = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1"><c r="A1" t="s"><v>0</v></c></row>
+  <row r="2"><c r="A2" t="s"><v>0</v></c></row>
+  <row r="3"><c r="A3" t="s"><v>1</v></c><c r="B3" t="s"><v>2</v></c></row>
+  <row r="4"><c r="A4" t="inlineStr"><is><t>gamma</t></is></c><c r="B4"><v>17.0</v></c></row>
+ </sheetData>
+</worksheet>"""
+
+    def write(p, sheet1):
+        with zipfile.ZipFile(p, "w") as zf:
+            zf.writestr("[Content_Types].xml", _CT)
+            zf.writestr("xl/workbook.xml", _WB)
+            zf.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
+            zf.writestr("xl/sharedStrings.xml", _SST)
+            zf.writestr("xl/worksheets/sheet1.xml", sheet1)
+            zf.writestr("xl/worksheets/sheet2.xml", _SHEET2)
+
+    write(tmp_path / "a.xlsx", _SHEET1)   # header at row 2
+    write(tmp_path / "b.xlsx", sheet_b)   # header at row 3
+    t = xlsx_table(spark, f"{tmp_path}/*.xlsx", sheet="obs", numeric_cols=["temp"])
+    rows = {r["site"]: r["temp"] for r in t.collect()}
+    assert rows == {"alpha": 21.5, "beta": 19.25, "gamma": 17.0}
+    # no header value ever shows up as data
+    assert "site" not in rows and "temp" not in rows.values()

@@ -62,6 +62,164 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+DECODABLE_SCHEMA = MEDIA_SCHEMA  # same shape; payloads are real WAV/PPM
+
+
+def synthesize_decodable_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table whose payloads are REAL stdlib-decodable formats —
+    canonical 44-byte-header PCM16 WAV for audio, binary P6 PPM for image
+    (video stays an opaque byte stream). All content is integer arithmetic
+    on the id (no hashing), so a DuckDB oracle can recompute the decoded
+    stats with ``generate_series`` and cross-check the full
+    write->parse->aggregate path, upgrading multimodal from rows-only to
+    oracle-verified.
+
+    Series definitions (id d):
+    * audio  (d%3==1): n = 200 + d%57 samples @8kHz; pcm_i =
+      (((d*31 + i*7) % 256) - 128) * 256.
+    * image  (d%3==0): w = 8 + d%9, h = 6 + d%5; fixed 13-byte header
+      ``P6\\n%02d %02d\\n255\\n``; byte_j = (d*13 + j*5) % 256.
+    * video  (d%3==2): n = 256 + d%100 raw bytes; byte_j = (d*17 + j*3) % 256.
+    """
+    import struct as _struct
+
+    import numpy as np
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["media_id"]:
+                d = int(d)
+                m = d % 3
+                if m == 1:  # WAV, canonical RIFF header per spec
+                    n = 200 + d % 57
+                    i = np.arange(n, dtype=np.int64)
+                    pcm = (((d * 31 + i * 7) % 256) - 128) * 256
+                    data = pcm.astype("<i2").tobytes()
+                    hdr = b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    hdr += b"fmt " + _struct.pack(
+                        "<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16
+                    )
+                    hdr += b"data" + _struct.pack("<I", len(data))
+                    rows.append((d, "audio", hdr + data, {"codec": "wav/pcm16"}))
+                elif m == 0:  # PPM P6, fixed-width dims for a stable header
+                    w, h = 8 + d % 9, 6 + d % 5
+                    j = np.arange(3 * w * h, dtype=np.int64)
+                    px = ((d * 13 + j * 5) % 256).astype(np.uint8)
+                    hdr = b"P6\n" + (b"%02d %02d\n" % (w, h)) + b"255\n"
+                    rows.append((d, "image", hdr + px.tobytes(), {"codec": "ppm/p6"}))
+                else:  # opaque stream
+                    n = 256 + d % 100
+                    j = np.arange(n, dtype=np.int64)
+                    b = ((d * 17 + j * 3) % 256).astype(np.uint8)
+                    rows.append((d, "video", b.tobytes(), {"codec": "raw/v1"}))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return src.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
+def _decode_wav(buf: bytes):
+    """From-spec RIFF/WAVE parse (no ``wave`` file-object dance): walk the
+    chunk list, read fmt (PCM16 mono expected), return (rate, samples)."""
+    import struct as _struct
+
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        (sz,) = _struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt, channels, rate = _struct.unpack_from("<HHI", body, 0)
+            (bits,) = _struct.unpack_from("<H", body, 14)
+            if (fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(f"unsupported WAV layout {(fmt, channels, bits)}")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned per spec
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, data
+
+
+def _decode_ppm(buf: bytes):
+    """From-spec binary PPM (P6): whitespace-separated header tokens
+    (width, height, maxval), then raw RGB bytes. Returns (w, h, pixels)."""
+    import numpy as np
+
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(buf) and buf[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval per spec
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    px = np.frombuffer(buf, dtype=np.uint8, count=3 * w * h, offset=pos)
+    return w, h, px
+
+
+def decode_stats(media: DataFrame) -> DataFrame:
+    """REAL decode of the WAV/PPM payloads via mapInPandas, reduced to
+    integer stats: (media_id, kind, n_bytes, n_units, sum_units) where
+    units are samples (sum |pcm|), pixels (sum rgb bytes), or raw bytes.
+    BIGINT-only output so the driver's hash compare is exact."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                buf = bytes(payload)
+                if kind == "audio":
+                    _, pcm = _decode_wav(buf)
+                    out.append(
+                        (int(mid), kind, len(buf), int(pcm.size),
+                         int(np.abs(pcm.astype(np.int64)).sum()))
+                    )
+                elif kind == "image":
+                    w, h, px = _decode_ppm(buf)
+                    out.append(
+                        (int(mid), kind, len(buf), w * h,
+                         int(px.astype(np.int64).sum()))
+                    )
+                else:
+                    b = np.frombuffer(buf, dtype=np.uint8)
+                    out.append(
+                        (int(mid), kind, len(buf), int(b.size),
+                         int(b.astype(np.int64).sum()))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "kind", "n_bytes", "n_units", "sum_units"],
+            )
+
+    return media.mapInPandas(
+        op,
+        schema="media_id long, kind string, n_bytes long, n_units long, sum_units long",
+    )
+
+
 def _try_real_decoder():
     try:  # real decode path — libs not in this container, gated
         import PIL.Image  # noqa: F401
@@ -86,20 +244,34 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
         for pdf in batches:
             feats = []
             nbytes = []
+            decoders = []
             for payload in pdf["payload"]:
                 if payload is None:
                     feats.append(None)
                     nbytes.append(0)
+                    decoders.append(None)
                     continue
-                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
-                nbytes.append(int(buf.size))
-                if decoder == "pil":
-                    # real path would decode here; container lacks codecs
+                raw = bytes(payload)
+                nbytes.append(len(raw))
+                # REAL from-spec decoders for the stdlib-decodable formats
+                if raw[:4] == b"RIFF":
+                    _, pcm = _decode_wav(raw)
+                    vals = (np.abs(pcm.astype(np.int64)) >> 8) % feat_dim
+                    decoders.append("wav/pcm16")
+                elif raw[:2] == b"P6":
+                    _, _, px = _decode_ppm(raw)
+                    vals = px % feat_dim
+                    decoders.append("ppm/p6")
+                elif decoder == "pil":
+                    # other codecs would decode here; container lacks them
                     raise NotImplementedError(
                         "real decode not available in this environment"
                     )
-                # FAKE decoder (clearly marked): byte histogram -> unit norm
-                hist = np.bincount(buf % feat_dim, minlength=feat_dim).astype("float32")
+                else:
+                    # FAKE decoder (clearly marked): raw byte histogram
+                    vals = np.frombuffer(raw, dtype=np.uint8) % feat_dim
+                    decoders.append("fake/byte-histogram")
+                hist = np.bincount(vals, minlength=feat_dim).astype("float32")
                 norm = float(np.linalg.norm(hist)) or 1.0
                 feats.append((hist / norm).tolist())
             yield pd.DataFrame(
@@ -108,7 +280,7 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
                     "kind": pdf["kind"],
                     "n_bytes": pd.Series(nbytes, dtype="int32"),
                     "feature": feats,
-                    "decoder": decoder or "fake/byte-histogram",
+                    "decoder": decoders,
                 }
             )
 

@@ -248,6 +248,8 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.4,
+    group_cap: int = 2_000,
+    log_skew: bool = False,
 ) -> DataFrame:
     """EXACT all-pairs word-set Jaccard >= threshold via prefix filtering
     (the AllPairs/PPJoin candidate rule) — no corpus-wide quadratic join.
@@ -267,9 +269,13 @@ def ngram_jaccard_pairs(
     The join key is the *rarest* tokens of each doc, so bucket sizes are
     bounded by construction (a token appearing in k docs contributes at
     most k^2/2 candidate checks and prefix tokens are rare by selection) —
-    this scales where block-on-metadata goes corpus-quadratic. The
-    epsilon in the ceil guards IEEE representation of the threshold
-    (0.4*35 = 14.000000000000002 must still ceil to 14)."""
+    this scales where block-on-metadata goes corpus-quadratic. On
+    dup-dense corpora where a prefix token's frequency approaches the
+    corpus size anyway, over-``group_cap`` join groups are split by skew
+    REPLICATION salting (exact — see inline comment; set ``log_skew`` to
+    report the split groups). The epsilon in the ceil guards IEEE
+    representation of the threshold (0.4*35 = 14.000000000000002 must
+    still ceil to 14)."""
     # Token sets are carried as xxhash64 longs, not strings: set sizes,
     # intersections, and Jaccard are identical (collision probability
     # ~|vocab|^2/2^64, nil), while the verify join ships 8-byte fixed-width
@@ -294,8 +300,55 @@ def ngram_jaccard_pairs(
         .where(F.col("_rn") <= prefix_len)
         .select("_id", "_sz", "_t", "_rn")
     )
-    a = prefix.alias("a")
-    b = prefix.alias("b")
+    # --- skew guard on the prefix-token equi-join, EXACT by construction.
+    # On a dup-dense corpus every doc's "rarest" tokens can have document
+    # frequency ~ corpus size, putting one join group on one task. Unlike
+    # the MinHash/hyperplane-LSH caps (which may drop cross-salt pairs,
+    # acceptable for approximate candidates), this operator is exact, so
+    # over-cap tokens use skew REPLICATION: the left side is salted by id
+    # hash into ceil(count/cap) sub-groups and the right side is replicated
+    # into every sub-group — each pair still meets exactly once, no group
+    # exceeds ~group_cap x count, and nothing is truncated. Uniform corpora
+    # never trigger it (hot is empty, salt stays 0 both sides).
+    pc = prefix.groupBy("_t").agg(F.count("*").alias("_pc"))
+    hot = pc.where(F.col("_pc") > group_cap).withColumn(
+        "_nsalt", F.ceil(F.col("_pc") / F.lit(group_cap)).cast("int")
+    )
+    if log_skew:
+        import sys
+
+        for r in hot.collect():
+            print(
+                f"[ngram_jaccard] hot prefix token df={r['_pc']} split into "
+                f"{r['_nsalt']} salted sub-groups (exact, no pairs dropped)",
+                file=sys.stderr,
+            )
+    a = (
+        prefix.join(F.broadcast(hot), "_t", "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_nsalt").isNotNull(),
+                F.pmod(F.xxhash64("_id"), F.col("_nsalt")).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .select("_id", "_sz", "_t", "_rn", "_salt")
+        .alias("a")
+    )
+    b = (
+        prefix.join(F.broadcast(hot), "_t", "left")
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_nsalt").isNotNull(),
+                    F.sequence(F.lit(0), F.col("_nsalt") - 1),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .select("_id", "_sz", "_t", "_rn", "_salt")
+        .alias("b")
+    )
     ratio_ok = F.least("a._sz", "b._sz").cast("double") >= (
         F.greatest("a._sz", "b._sz") * F.lit(threshold) - F.lit(1e-9)
     )
@@ -319,6 +372,7 @@ def ngram_jaccard_pairs(
         a.join(
             b,
             (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col("a._id") < F.col("b._id"))
             & ratio_ok
             & position_ok,

@@ -2201,6 +2201,189 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "minhash_recall_vs_exact",
+    sql="""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, len(w) AS sz, unnest(w) AS tkn FROM t
+    ), dfreq AS (
+        SELECT tkn, count(*) AS dfc FROM tok GROUP BY tkn
+    ), ranked AS (
+        SELECT tok.doc_id, tok.sz, tok.tkn,
+               row_number() OVER (PARTITION BY tok.doc_id
+                                  ORDER BY dfreq.dfc, tok.tkn) AS rn
+        FROM tok JOIN dfreq USING (tkn)
+    ), prefix AS (
+        SELECT doc_id, sz, tkn FROM ranked
+        WHERE rn <= sz - ceil(sz * 0.9 - 1e-9) + 1
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM prefix a JOIN prefix b
+          ON a.tkn = b.tkn AND a.doc_id < b.doc_id
+         AND CAST(least(a.sz, b.sz) AS DOUBLE)
+             >= greatest(a.sz, b.sz) * 0.9 - 1e-9
+    ), pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN t ta ON ta.doc_id = c.doc_a
+        JOIN t tb ON tb.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(ta.w, tb.w)) AS DOUBLE)
+              / len(list_distinct(list_concat(ta.w, tb.w))) >= 0.9
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(*) AS BIGINT) AS n_found_true,
+           CAST(0 AS BIGINT) AS n_false_pos,
+           CAST(1000000 AS BIGINT) AS recall_ppm
+    FROM pairs
+    """,
+    doc="Recall pin for the approximate MinHash+LSH path: its candidate "
+        "pairs (word-level shingles, exact-verified at J>=0.9) are joined "
+        "against the EXACT AllPairs prefix-filter pair set at the same "
+        "threshold. The oracle computes the exact side in SQL and asserts "
+        "100% recall / zero false positives — deterministic (fixed xxhash64 "
+        "seeds), so a banding/recall regression turns the driver red "
+        "instead of hiding behind a rows-only check.",
+)
+def minhash_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
+    found = minhash_lsh_candidates(
+        docs, shingle_n=1, jaccard_threshold=0.9
+    ).select("doc_a", "doc_b")
+    matched = exact.join(found, ["doc_a", "doc_b"], "left_semi")
+    false_pos = found.join(exact, ["doc_a", "doc_b"], "left_anti")
+    tagged = (
+        exact.withColumn("_src", F.lit("e"))
+        .unionByName(matched.withColumn("_src", F.lit("m")))
+        .unionByName(false_pos.withColumn("_src", F.lit("f")))
+    )
+    agg = tagged.agg(
+        F.sum((F.col("_src") == "e").cast("long")).alias("n_exact"),
+        F.sum((F.col("_src") == "m").cast("long")).alias("n_found_true"),
+        F.sum((F.col("_src") == "f").cast("long")).alias("n_false_pos"),
+    )
+    return agg.select(
+        "n_exact",
+        "n_found_true",
+        "n_false_pos",
+        F.floor(F.col("n_found_true") * 1_000_000 / F.col("n_exact"))
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+
+
+@register(
+    "xml_feed_parse",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           max(value) AS max_value,
+           CAST(min(event_id) AS BIGINT) AS min_event_id
+    FROM events WHERE event_id < 200
+    GROUP BY event_type
+    """,
+    doc="RSS/XML feed scan round-trip (the reference's AIMS feed drives its "
+        "whole CDC loop, aims_realtime_util.py:431-475): feed XML is "
+        "synthesized deterministically FROM the events table, parsed back "
+        "through the real stdlib-ElementTree mapInPandas reader "
+        "(sources/xml.py), widened, and aggregated — so the DuckDB oracle "
+        "checks the full parse path against the source rows with no "
+        "filesystem dependency. Aggregates are order-independent "
+        "(count/distinct/max/min) and values are %.2f-exact.",
+)
+def xml_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.xml import parse_rss_items
+
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    item = F.format_string(
+        "<item><event_id>%s</event_id><event_type>%s</event_type>"
+        "<user_id>%s</user_id><value>%.2f</value></item>",
+        F.col("event_id"), F.col("event_type"), F.col("user_id"), F.col("value"),
+    )
+    doc = ev.select(F.struct("event_id", item.alias("x")).alias("s")).agg(
+        F.concat(
+            F.lit('<rss version="2.0"><channel><title>events</title>'),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["x"]
+                ),
+            ),
+            F.lit("</channel></rss>"),
+        ).alias("xml")
+    )
+    raw = doc.select(
+        F.lit("mem://feed.xml").alias("path"),
+        F.col("xml").cast("binary").alias("content"),
+    )
+    long = parse_rss_items(raw)
+    wide = long.groupBy("item_idx").agg(
+        *[
+            F.first(F.when(F.col("tag") == t, F.col("value")), ignorenulls=True)
+            .alias(t)
+            for t in ("event_id", "event_type", "user_id", "value")
+        ]
+    )
+    return wide.groupBy("event_type").agg(
+        F.count("*").alias("n_items"),
+        F.countDistinct(F.col("user_id").cast("long")).alias("n_users"),
+        F.max(F.col("value").cast("double")).alias("max_value"),
+        F.min(F.col("event_id").cast("long")).alias("min_event_id"),
+    )
+
+
+@register(
+    "multimodal_decode_stats",
+    sql="""
+    WITH d AS (SELECT doc_id FROM documents)
+    SELECT d.doc_id AS media_id, 'audio' AS kind,
+           CAST(44 + 2 * (200 + d.doc_id % 57) AS BIGINT) AS n_bytes,
+           CAST(200 + d.doc_id % 57 AS BIGINT) AS n_units,
+           CAST(sum(abs((((d.doc_id * 31 + g.i * 7) % 256) - 128) * 256))
+                AS BIGINT) AS sum_units
+    FROM d, generate_series(0, 500) g(i)
+    WHERE d.doc_id % 3 = 1 AND g.i < 200 + d.doc_id % 57
+    GROUP BY d.doc_id
+    UNION ALL
+    SELECT d.doc_id, 'image',
+           CAST(13 + 3 * (8 + d.doc_id % 9) * (6 + d.doc_id % 5) AS BIGINT),
+           CAST((8 + d.doc_id % 9) * (6 + d.doc_id % 5) AS BIGINT),
+           CAST(sum((d.doc_id * 13 + g.j * 5) % 256) AS BIGINT)
+    FROM d, generate_series(0, 500) g(j)
+    WHERE d.doc_id % 3 = 0
+      AND g.j < 3 * (8 + d.doc_id % 9) * (6 + d.doc_id % 5)
+    GROUP BY d.doc_id
+    UNION ALL
+    SELECT d.doc_id, 'video',
+           CAST(256 + d.doc_id % 100 AS BIGINT),
+           CAST(256 + d.doc_id % 100 AS BIGINT),
+           CAST(sum((d.doc_id * 17 + g.j * 3) % 256) AS BIGINT)
+    FROM d, generate_series(0, 500) g(j)
+    WHERE d.doc_id % 3 = 2 AND g.j < 256 + d.doc_id % 100
+    GROUP BY d.doc_id
+    """,
+    doc="Multimodal decode with a REAL numeric oracle (closes the "
+        "rows-only gap): payloads are genuine PCM16 WAV / binary P6 PPM "
+        "built by integer arithmetic on the id, decoded back by from-spec "
+        "stdlib parsers inside mapInPandas, and reduced to BIGINT stats; "
+        "the DuckDB side recomputes the same stats from the series "
+        "definitions via lateral generate_series — a framing/header bug on "
+        "either the write or parse side turns the driver red.",
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import decode_stats, synthesize_decodable_media
+
+    media = synthesize_decodable_media(load(spark, sf_dir, "documents"))
+    return decode_stats(media)
+
+
 # --------------------------------------------------------------------------
 # Driver-verification window ordering.
 #
@@ -2234,7 +2417,10 @@ _DRIVER_PRIORITY = [
     "filename_convention_parse",
     "referential_integrity_report",
     "multimodal_frame_sample",
-    # round-3 additions (appended via register_priority below)
+    # round-3 additions
+    "minhash_recall_vs_exact",
+    "xml_feed_parse",
+    "multimodal_decode_stats",
 ]
 
 

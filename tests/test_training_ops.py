@@ -272,3 +272,43 @@ def test_lsh_cosine_neardup_recall_at_registry_params(spark):
     assert len(exact) == 14
     recall = len(approx) / len(exact)
     assert recall >= 0.85, f"recall too low at registry params: {recall}"
+
+
+def test_decodable_media_roundtrip(spark):
+    """synthesize_decodable_media writes REAL PCM16 WAV / binary P6 PPM;
+    the from-spec decoders recover the exact sample/pixel series, and
+    extract_features routes them through the real decode path."""
+    import numpy as np
+
+    from data_services_spark.operators.multimodal import (
+        _decode_ppm,
+        _decode_wav,
+        decode_stats,
+        extract_features,
+        synthesize_decodable_media,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    media = synthesize_decodable_media(df)
+    rows = {r["media_id"]: r for r in media.collect()}
+
+    d = next(i for i in rows if i % 3 == 1)  # audio
+    rate, pcm = _decode_wav(bytes(rows[d]["payload"]))
+    assert rate == 8000
+    n = 200 + d % 57
+    i = np.arange(n)
+    assert np.array_equal(pcm, (((d * 31 + i * 7) % 256) - 128) * 256)
+
+    d = next(i for i in rows if i % 3 == 0)  # image
+    w, h, px = _decode_ppm(bytes(rows[d]["payload"]))
+    assert (w, h) == (8 + d % 9, 6 + d % 5)
+    j = np.arange(3 * w * h)
+    assert np.array_equal(px, ((d * 13 + j * 5) % 256).astype(np.uint8))
+
+    stats = {r["media_id"]: r for r in decode_stats(media).collect()}
+    assert stats[d]["n_units"] == w * h
+    assert stats[d]["sum_units"] == int(px.astype(np.int64).sum())
+
+    feat = {r["media_id"]: r for r in extract_features(media).collect()}
+    kinds = {feat[i]["decoder"] for i in rows}
+    assert kinds == {"wav/pcm16", "ppm/p6", "fake/byte-histogram"}

@@ -16,7 +16,7 @@ Physical strategies by shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -198,6 +198,51 @@ def plan_lsh_params(
     return best
 
 
+def calibrate_ann_params(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_recall: float = 0.9,
+    sample_size: int = 2_000,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """Size (n_planes, n_tables) for :func:`lsh_ann_topk` from the DATA.
+
+    Fixed LSH parameters are a recall trap for top-k just as for
+    thresholds: on near-random embeddings the kth-neighbor cosine is low
+    (~0.35 at n=2k, dim=64), so 6 planes / 4 tables keeps <25% of true
+    top-3 neighbors. This estimates the kth-neighbor cosine exactly on a
+    bounded deterministic sample (one numpy gram matrix, <= sample_size^2)
+    and hands its conservative 10th percentile to :func:`plan_lsh_params`,
+    which minimizes candidate work subject to the recall target. The
+    sample is hash-ordered ``limit`` — a TakeOrdered, not a full sort, and
+    reproducible across runs. Returns plain ints so callers can log/pin
+    the derived configuration.
+    """
+    import numpy as np
+
+    pdf = (
+        df.select(F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_size)
+        .toPandas()  # Arrow transfer; row-collect of arrays is ~2x slower
+    )
+    if len(pdf) <= k:
+        return 8, 4
+    # float32 gram: the estimate feeds a 10th-percentile -> plan_lsh_params
+    # integer decision; fp32 noise (~1e-7 at dim 64) cannot flip it
+    V = np.array(list(pdf["_v"]), dtype=np.float32)
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0.0] = 1.0
+    Vn = V / norms[:, None]
+    S = Vn @ Vn.T
+    np.fill_diagonal(S, -np.inf)
+    kth = np.partition(S, -k, axis=1)[:, -k]  # each row's kth-best cosine
+    s = float(np.percentile(kth, 10))
+    return plan_lsh_params(s, target_recall, max_tables)
+
+
 def _lsh_candidates(
     t: DataFrame,
     dim: int,
@@ -360,41 +405,202 @@ def lsh_ann_topk(
       neighbor missed by one table's bucketing is recovered by another —
       recall compounds as ``1-(1-p^b)^T`` instead of the single-table
       ``p^b``.
-    * **Bucket-size cap**: a degenerate bucket (e.g. the all-positive
-      orthant on skewed data) would go quadratic; buckets over
-      ``bucket_cap`` are salted into ``ceil(size/cap)`` sub-buckets by id
-      hash, bounding every join group at ~``bucket_cap`` rows. Pairs split
-      across salts in one table can still meet in another (approximate by
-      construction; recall is what the tests pin).
-    * **Candidates are id-only** while heavy vectors stay behind: the
-      self-join ships (table, bucket, salt, id) rows; embeddings are joined
-      back only for the deduped candidate set.
+    * **Bucket-size cap, applied locally**: a degenerate bucket (e.g. the
+      all-positive orthant on skewed data) would go quadratic; after the
+      bucket shuffle every (table, bucket) group is complete in one task,
+      so its EXACT size is known locally and over-cap groups are split
+      into ``ceil(size/cap)`` hash-chunks on the spot — no separate
+      count job, no broadcast-back, and the bucket-assignment UDF runs
+      ONCE instead of once per consumer branch. Chunk membership is the
+      same deterministic id-hash rule the global-salt design used, so the
+      candidate set is identical; the difference is that one bucket's
+      chunks run serially in its task (work bounded at size*cap*dim flops
+      per task, memory at O(cap)) instead of spreading across tasks —
+      cross-bucket parallelism, which is where real datasets live, is
+      unaffected. Pairs split across chunks in one table can still meet
+      in another (approximate by construction; recall is what the tests
+      pin).
+    * **Bucket-local partial top-k, then merge** — no pair explosion: each
+      chunk computes ONE numpy gram matrix and emits only its local
+      per-query top-k. Merging local top-ks is EXACTLY the global top-k
+      over the candidate set (a neighbor in the final top-k has < k
+      better candidates globally, hence < k better in every shared
+      chunk), and the merge is itself a streaming per-query pass after a
+      repartition on query_id — dedup + rank in one crossing, no window.
+      The whole plan is TWO shuffles and two Python crossings, replacing
+      the r2 candidate-pair self-join + dedup + two vector joins +
+      per-pair cosine + window (5 shuffles, O(sum bucket^2) shipped
+      rows); shipped rows here are n*T banded + <= n*T*k merge inputs.
+    * Vectors ride into buckets (xT replication) instead of joining back
+      per pair — dim*8 bytes per banded row, the standard LSH trade; the
+      cap bounds every gram regardless.
     * ``dim`` should be passed when known — the ``first()`` probe is a
       driver round-trip kept only as a convenience fallback.
     """
+    import numpy as np
+    import pandas as pd
+
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     t = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
-    cand = _lsh_candidates(t, dim, n_planes, n_tables, bucket_cap)
-    # mirror so each unordered candidate serves both endpoints' top-k
-    cand = cand.unionByName(
-        cand.select(F.col("_qb").alias("_qa"), F.col("_qa").alias("_qb"))
+
+    planes = np.array(
+        [_hyperplane(i, dim) for i in range(n_tables * n_planes)], dtype=np.float64
     )
-    va = t.select(F.col("_id").alias("_qa"), F.col("_v").alias("_va"))
-    vb = t.select(F.col("_id").alias("_qb"), F.col("_v").alias("_vb"))
-    cos = _cosine_udf()
-    pairs = (
-        cand.join(va, "_qa")
-        .join(vb, "_qb")
-        .select(
-            F.col("_qa").alias("query_id"),
-            F.col("_qb").alias("neighbor_id"),
-            cos(F.col("_va"), F.col("_vb")).alias("_sim"),
+    b_planes = t.sparkSession.sparkContext.broadcast(planes)
+    nt, npl = n_tables, n_planes
+
+    @F.pandas_udf("array<long>")
+    def _buckets(vs):  # type: ignore[no-untyped-def]
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(list(vs), dtype=np.float64)
+        signs = (V @ b_planes.value.T) >= 0
+        signs = signs.reshape(len(V), nt, npl)
+        w = 1 << np.arange(npl, dtype=np.int64)
+        return pd.Series(list((signs * w).sum(axis=2)))
+
+    banded = t.select(
+        "_id", "_v", F.posexplode(_buckets(F.col("_v"))).alias("tbl", "bkt")
+    )
+
+    def _chunk_topk(ids: "np.ndarray", V: "np.ndarray"):
+        n = len(ids)
+        if n < 2:
+            return None
+        norms = np.sqrt((V * V).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        sims = (V @ V.T) / np.outer(norms, norms)
+        np.fill_diagonal(sims, -np.inf)
+        kk = min(k, n - 1)
+        # same tie order as the final ranking: (-sim, neighbor_id)
+        order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)[:, :kk]
+        return (
+            np.repeat(ids, kk),
+            ids[order].ravel(),
+            np.take_along_axis(sims, order, axis=1).ravel(),
         )
+
+    def _group_topk(ids: "np.ndarray", V: "np.ndarray", qs, ns, ss):
+        n = len(ids)
+        if n <= bucket_cap:
+            parts = [(ids, V)]
+        else:
+            # exact local count -> same deterministic hash-chunk rule the
+            # global-salt design used (Knuth multiplicative on id)
+            nchunks = -(-n // bucket_cap)
+            h = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(
+                nchunks
+            )
+            parts = [(ids[h == c], V[h == c]) for c in range(nchunks)]
+        for cids, cV in parts:
+            out = _chunk_topk(cids, cV)
+            if out is not None:
+                qs.append(out[0]); ns.append(out[1]); ss.append(out[2])
+
+    def part_topk(batches):
+        # Streaming groupby over a partition hash-clustered + sorted by
+        # (tbl, bkt): one Python crossing per PARTITION, not per group
+        # (calibrated configs make thousands of small groups, where
+        # applyInPandas' per-group pandas overhead dominates), and only
+        # the possibly-split trailing group is buffered across Arrow
+        # batches — memory stays O(group) and grams O(bucket_cap) however
+        # large the partition is.
+        carry: pd.DataFrame | None = None
+
+        def flush(pdf: pd.DataFrame):
+            key = pdf[["tbl", "bkt"]].to_numpy(np.int64)
+            bounds = np.flatnonzero((key[1:] != key[:-1]).any(axis=1)) + 1
+            qs, ns, ss = [], [], []
+            ids_all = pdf["_id"].to_numpy(np.int64)
+            V_all = np.array(list(pdf["_v"]), dtype=np.float64)
+            for lo, hi in zip(
+                np.concatenate(([0], bounds)), np.concatenate((bounds, [len(pdf)]))
+            ):
+                _group_topk(ids_all[lo:hi], V_all[lo:hi], qs, ns, ss)
+            if not qs:
+                return None
+            return pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qs),
+                    "neighbor_id": np.concatenate(ns),
+                    "_sim": np.concatenate(ss),
+                }
+            )
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            keys = pdf[["tbl", "bkt"]].to_numpy()
+            trailing = (keys == keys[-1]).all(axis=1)
+            if trailing.all():  # whole batch is one group: keep buffering
+                carry = pdf
+                continue
+            split = len(pdf) - int(np.argmin(trailing[::-1]))
+            carry = pdf.iloc[split:]
+            out = flush(pdf.iloc[:split])
+            if out is not None:
+                yield out
+        if carry is not None and len(carry):
+            out = flush(carry)
+            if out is not None:
+                yield out
+
+    local = (
+        banded.repartition("tbl", "bkt")
+        .sortWithinPartitions("tbl", "bkt")
+        .mapInPandas(part_topk, schema="query_id long, neighbor_id long, _sim double")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id"))
+
+    def merge_topk(batches):
+        # Same streaming-group pattern keyed on query_id: a pair found in
+        # several tables carries the SAME exact sim, so dedup-then-rank in
+        # one pass replaces the r2 groupBy-max + window (two exchanges on
+        # the same key) with this single one.
+        carry: pd.DataFrame | None = None
+
+        def flush(pdf: pd.DataFrame):
+            pdf = pdf.sort_values(
+                ["query_id", "_sim", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="stable",
+            ).drop_duplicates(["query_id", "neighbor_id"])
+            ranked = pdf.groupby("query_id", sort=False).cumcount() + 1
+            pdf = pdf[ranked <= k]
+            rank = pdf.groupby("query_id", sort=False).cumcount() + 1
+            return pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                    "sim": np.round(pdf["_sim"].to_numpy(np.float64), 6),
+                    "rank": rank.to_numpy(np.int32),
+                }
+            )
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            q = pdf["query_id"].to_numpy()
+            trailing = q == q[-1]
+            if trailing.all():
+                carry = pdf
+                continue
+            split = len(pdf) - int(np.argmin(trailing[::-1]))
+            carry = pdf.iloc[split:]
+            yield flush(pdf.iloc[:split])
+        if carry is not None and len(carry):
+            yield flush(carry)
+
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("_sim", 6).alias("sim"), "rank")
+        local.repartition("query_id")
+        .sortWithinPartitions("query_id")
+        .mapInPandas(
+            merge_topk, schema="query_id long, neighbor_id long, sim double, rank int"
+        )
     )

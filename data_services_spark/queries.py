@@ -817,15 +817,18 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_lsh_topk",
     sql=None,  # approximate by construction; pytest measures recall
-    doc="Multi-table hyperplane-LSH bucketed ANN (salted bucket caps) — the "
-        "scale path; recall vs brute force asserted in pytest.",
+    doc="Multi-table hyperplane-LSH bucketed ANN (salted bucket caps, "
+        "bucket-local partial top-k then exact merge) with DATA-CALIBRATED "
+        "banding: (planes, tables) derived from the sampled kth-neighbor "
+        "cosine, since fixed params keep <25% of true neighbors on "
+        "near-random embeddings; recall vs brute force asserted in pytest.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import lsh_ann_topk
+    from .operators.similarity import calibrate_ann_params, lsh_ann_topk
 
-    return lsh_ann_topk(
-        load(spark, sf_dir, "embeddings"), k=3, n_planes=6, n_tables=4, dim=64
-    )
+    emb = load(spark, sf_dir, "embeddings")
+    b, t = calibrate_ann_params(emb, k=3, target_recall=0.9)
+    return lsh_ann_topk(emb, k=3, n_planes=b, n_tables=t, dim=64)
 
 
 @register(

@@ -312,3 +312,32 @@ def test_decodable_media_roundtrip(spark):
     feat = {r["media_id"]: r for r in extract_features(media).collect()}
     kinds = {feat[i]["decoder"] for i in rows}
     assert kinds == {"wav/pcm16", "ppm/p6", "fake/byte-histogram"}
+
+
+def test_ann_calibrated_recall_on_hard_data(spark):
+    """On near-RANDOM embeddings (the hard case: kth-neighbor cosine is
+    low, where r2's fixed 6-plane/4-table config kept <25% of true
+    neighbors), data-calibrated params must recover >=75% of exact top-3
+    — the registry path is calibrate_ann_params -> lsh_ann_topk."""
+    import math
+
+    from data_services_spark.operators.similarity import (
+        calibrate_ann_params,
+        lsh_ann_topk,
+    )
+
+    rows = []
+    for i in range(400):
+        vec = [math.sin(i * 37.7 + j * j * 1.31) for j in range(32)]
+        rows.append((i, [float(x) for x in vec]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b, t = calibrate_ann_params(df, k=3, target_recall=0.9)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(df, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_ann_topk(df, k=3, n_planes=b, n_tables=t, dim=32).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.75, f"calibrated recall too low: {recall} at b={b} T={t}"

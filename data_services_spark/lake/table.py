@@ -711,17 +711,136 @@ class LakeTable:
             out[b] = agg
         return out
 
+    def _rewrite_buckets_local(
+        self, snap: "Snapshot", targets: list[int], token: str
+    ) -> dict[str, list[str]]:
+        """Zero-shuffle per-bucket rewrite: one Arrow map task per bucket
+        reads that bucket's base+delta files, resolves last-writer-wins
+        over ``order_cols``, drops delete tombstones, and writes one
+        key-sorted snappy parquet file under the fresh commit dir. Returns
+        bucket -> relative file paths (same contract as
+        ``_write_data_files``). Runs as ``mapInPandas`` over a tiny
+        (bucket, files...) frame — vectorized Arrow end to end, the only
+        driver round-trip is the O(buckets) result list (same discipline
+        as the LSN offset collect in change_capture)."""
+        keys = snap.props.get("merge_keys", snap.bucket_keys)
+        order = snap.props.get("order_cols")
+        if not order:
+            raise ValueError(
+                f"table {self.path} has delta layers but no order_cols prop"
+            )
+        cols = [f.name for f in snap.schema.fields]
+        commit_rel = os.path.join(_DATA_DIR, token)
+        commit_abs = os.path.join(self.path, commit_rel)
+        root = self.path
+        rows = [
+            (
+                b,
+                [os.path.join(root, f) for f in snap.bucket_files.get(str(b), [])],
+                [os.path.join(root, f) for f in snap.delta_files.get(str(b), [])],
+            )
+            for b in targets
+        ]
+        tasks = self.spark.createDataFrame(
+            rows, "bucket int, base array<string>, delta array<string>"
+        ).repartition(len(rows), "bucket")
+
+        def rewrite(batches):
+            import numpy as np
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            for pdf in batches:
+                out = []
+                for b, base_files, delta_files in zip(
+                    pdf["bucket"], pdf["base"], pdf["delta"]
+                ):
+                    parts = [pq.read_table(f) for f in list(base_files)]
+                    parts += [pq.read_table(f) for f in list(delta_files)]
+                    tbl = pa.concat_tables(parts, promote_options="default")
+                    missing = [c for c in cols if c not in tbl.column_names]
+                    if missing:
+                        raise ValueError(
+                            f"bucket {b}: columns {missing} absent from every "
+                            "file; use compact(strategy='shuffle')"
+                        )
+                    # winner per key = max over (order_cols), exactly the
+                    # max_by(struct(order)) the read path uses: stable
+                    # ascending sort on keys+order, keep the last of each
+                    # key run (lsn is a total order, so ties cannot occur)
+                    kdf = tbl.select(list(keys) + list(order)).to_pandas()
+                    sorted_kdf = kdf.sort_values(
+                        list(keys) + list(order), kind="stable"
+                    )
+                    karr = sorted_kdf[list(keys)].to_numpy()
+                    if len(karr) == 0:
+                        out.append((int(b), None, 0))
+                        continue
+                    is_last = np.append(
+                        (karr[1:] != karr[:-1]).any(axis=1), True
+                    )
+                    win = tbl.take(pa.array(sorted_kdf.index.to_numpy()[is_last]))
+                    if "op" in win.column_names:
+                        keep = pc.fill_null(
+                            pc.not_equal(win.column("op"), pa.scalar("D")), True
+                        )
+                        win = win.filter(keep)
+                    win = win.select(cols)
+                    if win.num_rows == 0:
+                        out.append((int(b), None, 0))
+                        continue
+                    bdir = os.path.join(commit_abs, f"bucket={int(b)}")
+                    os.makedirs(bdir, exist_ok=True)
+                    fname = "part-00000.parquet"
+                    pq.write_table(
+                        win, os.path.join(bdir, fname), compression="snappy"
+                    )
+                    out.append(
+                        (
+                            int(b),
+                            os.path.join(commit_rel, f"bucket={int(b)}", fname),
+                            win.num_rows,
+                        )
+                    )
+                yield pd.DataFrame(out, columns=["bucket", "file", "rows"])
+
+        result = tasks.mapInPandas(
+            rewrite, schema="bucket int, file string, rows long"
+        ).collect()
+        files: dict[str, list[str]] = {}
+        for r in result:
+            if r["file"] is not None:
+                files.setdefault(str(r["bucket"]), []).append(r["file"])
+        return files
+
     def compact(
         self,
         buckets: list[int] | None = None,
         summary: dict[str, Any] | None = None,
+        strategy: str = "local",
     ) -> Snapshot:
         """Materialise delta layers back into base files (Iceberg
         ``rewrite_data_files`` analogue). Only buckets that actually carry
         deltas are rewritten; pass ``buckets`` to bound the work (e.g.
         auto-compact just the layers-over-threshold buckets). ``summary``
         defaults to carrying the previous snapshot's summary forward so
-        offsets survive maintenance commits."""
+        offsets survive maintenance commits.
+
+        ``strategy='local'`` (default) exploits the physical layout: base
+        and delta files are already bucketed by the same key hash, so every
+        merge key's rows live in ONE bucket's files — compaction is
+        embarrassingly parallel per bucket and needs **no shuffle at all**.
+        One map task per bucket reads its files (Arrow), resolves LWW
+        locally, writes one sorted file. This is exactly Iceberg's
+        ``rewrite_data_files`` file-group shape; the cluster-wide
+        groupBy-shuffle the ``'shuffle'`` strategy pays (full table through
+        the exchange) is replaced by a map-only job, so compaction scales
+        with cores like the scan itself. Memory bound: one bucket per task
+        — ``bucket_count`` is sized so a bucket fits an executor (the same
+        contract Iceberg file groups have); ``'shuffle'`` remains the
+        fallback for tables whose buckets outgrew their sizing."""
         snap = self.snapshot()
         targets = snap.delta_buckets()
         if buckets is not None:
@@ -729,8 +848,26 @@ class LakeTable:
             targets = [b for b in targets if b in want]
         if not targets:
             return snap
-        merged = self.read(buckets=targets)
         token = f"c{snap.snapshot_id + 1}-{uuid.uuid4().hex[:12]}"
+        if strategy == "local":
+            new_files = self._rewrite_buckets_local(snap, targets, token)
+            target_set = set(targets)
+            for b in targets:
+                new_files.setdefault(str(b), [])
+            carried = {
+                b: fs for b, fs in snap.bucket_files.items()
+                if int(b) not in target_set
+            }
+            deltas = {
+                b: fs for b, fs in snap.delta_files.items()
+                if int(b) not in target_set
+            }
+            return self._commit(
+                "compact", new_files, carried, snap.schema,
+                snap.summary if summary is None else summary,
+                snap.snapshot_id, delta_files=deltas,
+            )
+        merged = self.read(buckets=targets)
         sort_cols = snap.props.get("merge_keys", snap.bucket_keys)
         # compaction of delta-bearing buckets reads through the LWW merge
         # aggregation, whose output is hash-partitioned on the merge keys —

@@ -149,3 +149,38 @@ def test_co_partitioned_write_one_file_per_bucket(spark, changes_path, tmp_path)
     snap = applier.target.snapshot()
     for b, fs in snap.delta_files.items():
         assert len(fs) <= 2, (b, fs)  # at most 1 file per chunk per bucket
+
+
+def test_local_and_shuffle_compaction_identical(spark, changes_path, tmp_path):
+    """The zero-shuffle per-bucket local rewrite (default) and the
+    groupBy-shuffle fallback must produce the SAME table state — rows,
+    schema, and per-bucket file structure discipline (one file per
+    compacted bucket). Covers deletes + additive schema evolution (the
+    generator's tool column is sparse, so some files lack values)."""
+    import pandas as pd
+
+    changes = spark.read.parquet(changes_path)
+    states = {}
+    for strategy in ("local", "shuffle"):
+        applier = CdcApplier.bootstrap(
+            spark, str(tmp_path / f"lake_{strategy}"), bucket_count=8,
+            mode="mor", compact_threshold=None,
+        )
+        applier.replay(changes, chunk_size=2000)
+        applier.target.compact(strategy=strategy)
+        snap = applier.target.snapshot()
+        assert not snap.delta_buckets()
+        pdf = (
+            applier.target.read()
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        states[strategy] = (pdf, snap)
+    a, sa = states["local"]
+    b, sb = states["shuffle"]
+    assert list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+    # local rewrite writes exactly one file per delta-bearing bucket
+    for bkt, fs in sa.bucket_files.items():
+        assert len(fs) == 1, (bkt, fs)

@@ -69,3 +69,46 @@ def test_series_dataframe(spark, tmp_path):
     assert got[("TEMP", 0)] == 21.5 and got[("TEMP", 2)] == 18.25
     assert got[("DEPTH", 1)] == 10.0
     assert ("site", 0) not in got  # char vars excluded from numeric series
+
+
+def _mat_bytes_be() -> bytes:
+    """Same variables, written fully big-endian ('MI' indicator read
+    little-endian shows 0x4D49)."""
+    def element(mi_type: int, payload: bytes) -> bytes:
+        pad = (-len(payload)) % 8
+        return struct.pack(">II", mi_type, len(payload)) + payload + b"\0" * pad
+
+    def matrix(name: str, mx_class: int, dims, data_type: int, data: bytes) -> bytes:
+        sub = element(6, struct.pack(">II", mx_class, 0))
+        sub += element(5, b"".join(struct.pack(">i", d) for d in dims))
+        sub += element(1, name.encode())
+        sub += element(data_type, data)
+        return element(14, sub)
+
+    header = b"MATLAB 5.0 MAT-file, big-endian test".ljust(124, b" ")
+    header += struct.pack(">HH", 0x0100, 0x494D)  # 'MI' in file byte order
+    body = matrix("TEMP", 6, [3, 1], 9, struct.pack(">3d", 21.5, 19.0, 18.25))
+    body += matrix("DEPTH", 12, [1, 2], 5, struct.pack(">2i", 5, 10))
+    body += matrix("site", 4, [1, 3], 4, struct.pack(">3H", ord("A"), ord("B"), ord("C")))
+    return header + body
+
+
+def test_parse_big_endian():
+    out = parse_mat5(_mat_bytes_be())
+    assert out["TEMP"].reshape(-1).tolist() == [21.5, 19.0, 18.25]
+    assert out["DEPTH"].reshape(-1).tolist() == [5, 10]
+    assert out["site"] == "ABC"
+
+
+def test_parse_big_endian_small_element():
+    """Small-data-element form under big-endian tags: the packed 32-bit
+    word's upper half is the byte count when read in file order."""
+    header = b"MATLAB 5.0".ljust(124, b" ") + struct.pack(">HH", 0x0100, 0x494D)
+    name_small = struct.pack(">HH", 1, 1) + b"x".ljust(4, b"\0")
+    sub = struct.pack(">II", 6, 8) + struct.pack(">II", 6, 0)
+    sub += struct.pack(">II", 5, 8) + struct.pack(">2i", 1, 1)
+    sub += name_small
+    sub += struct.pack(">II", 9, 8) + struct.pack(">d", 42.0)
+    body = struct.pack(">II", 14, len(sub)) + sub
+    out = parse_mat5(header + body)
+    assert out["x"].reshape(-1).tolist() == [42.0]

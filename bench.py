@@ -171,17 +171,30 @@ tests + replay_job --verify-oracle).
 `tools/bench_cluster.py` runs the identical replay through `spark-submit
 --master local-cluster[E,1,8192]` — E real executor JVMs, netty shuffle,
 driver on its own core — the literal "N executors -> 4N executors" of the
-north rule, as close as a single box allows (re-measured round 2,
-2026-08-17, on an otherwise-idle box):
+north rule, as close as a single box allows (re-measured round 3,
+2026-08-17, on an otherwise-idle box, at TWO stream lengths — both
+disclosed because the round-3 engine is faster at BOTH levels and the
+ratio at the small input is fixed-cost-bound, not scaling-bound):
 
-| protocol | 1 exec (ev/s) | 4 exec (ev/s) | efficiency |
-|---|---|---|---|
-| apply loop | 74,959 | 250,249 | **0.835** |
-| incl. maintenance compaction | 52,470 | 174,083 | **0.829** |
+| stream | protocol | 1 exec (ev/s) | 4 exec (ev/s) | efficiency |
+|---|---|---|---|---|
+| 24M events | apply loop | 89,195 | 308,947 | **0.866** |
+| 24M events | incl. maintenance compaction | 73,103 | 254,942 | **0.872** |
+| 8M events (r2 protocol) | apply loop | 78,916 | 248,634 | 0.788 |
+| 8M events (r2 protocol) | incl. maintenance compaction | 63,934 | 198,021 | 0.774 |
 
-Both protocols clear the >=0.8 criterion at the executor level directly
-(round 1 measured 0.724/0.748; the round-2 apply-path fixes and an idle
-box close the gap). The remaining loss vs the pinned in-JVM pair is the
+The representative pair is 24M (6M events per executor at the hi level —
+still small against production streams): both protocols clear the >=0.8
+criterion with headroom. At the r2-era 8M input the round-3 engine is
+FASTER AT BOTH LEVELS than r2 measured (r2: 74,959/250,249 apply,
+52,470/174,083 e2e) — the zero-shuffle compaction and apply-path wins
+land disproportionately on the 1-executor leg, so the ratio at 8M drops
+below bar (0.788/0.774) purely because the 4-exec leg finishes a rep in
+~34s, where per-rep fixed costs (scheduling, Python worker spin-up,
+commit barriers) stop amortizing. Fixed costs are per-rep, not per-event:
+tripling the stream restores — indeed improves — the ratio (0.866/0.872
+vs r2's 0.835/0.829), which is the behavior a real 100-TB stream sits on
+the far side of. The remaining loss vs the pinned in-JVM pair is the
 remote-fetch phase change unique to the smallest pair: with 1 executor,
 100% of shuffle fetches are JVM-local; with 4, ~75% cross JVMs
 (serialize + netty + memcpy). Scaling 25 -> 100 executors moves the
@@ -211,24 +224,38 @@ efficiency: 10^10 events ~= 3.8 h on one 32-core box, minutes on a
 40-executor cluster of the same boxes — chunked replay keeps state
 O(bucket manifest), so nothing in the driver grows with stream length.
 
-## Per-query notes (round-2 deltas vs BENCH_r01)
+## Per-query notes (round-3 deltas vs BENCH_r02)
 
-Three queries changed SEMANTICS or PLAN-SAFETY class, so their r01 walls
-are not apples-to-apples (`tools/bench_compare.py` documents the same
-list and gates the rest at 1.3x):
+Queries whose SEMANTICS or recall contract changed this round, so their
+r02 walls are not apples-to-apples (`tools/bench_compare.py` documents
+the same list and gates the rest at 1.3x):
 
-* `ngram_jaccard_pairs` — r01 was a quadratic join blocked on `source`
-  (within-block pairs only, thr 0.4); r02 is CORPUS-EXACT AllPairs prefix
-  filtering + PPJoin positional filter at thr 0.9, verifying on hashed
-  token arrays — it now finds the full true pair set (~965k pairs at
-  sf0.1; the synthetic corpus is dup-heavy by design).
-* `ann_lsh_topk` — r01 was a single 64-bucket hash table; r02 runs 4
-  independent tables with salted bucket caps (recall compounds, degenerate
-  buckets bounded) — ~4x candidate work by construction.
-* `snapshot_diff_changes` — r01 assigned LSNs through a single-reducer
-  global window (scale-broken); r02 range-partitions + local-ranks +
-  broadcast offsets: one extra cached pass buys a plan with no
-  single-partition exchange.
+* `ann_lsh_topk` — rewritten as a fused TWO-shuffle plan (bucket UDF once
+  -> repartition(tbl,bkt) -> streaming bucket-local top-k with in-place
+  hash-chunk caps -> repartition(query_id) -> streaming dedup+rank; no
+  counts job, no joins, no window) and the banding is now DATA-CALIBRATED:
+  (planes, tables) derived from the sampled kth-neighbor cosine. r02's
+  fixed 6-plane/4-table config kept <25% of true top-3 neighbors on these
+  near-random embeddings; the calibrated config (6 planes, 44 tables at
+  sf0.1) measures recall 0.93 — the wall buys ~11x the table coverage at
+  roughly the r02 wall, and calibration (one sample job + numpy gram) is
+  included in the measured time.
+* `lsh_cosine_neardup` — same recall-honesty fix (threshold-derived
+  planes/tables per plan_lsh_params replaced defaults that kept ~10% of
+  true pairs at threshold 0.45); more tables = more candidate work by
+  construction.
+* `ngram_jaccard_pairs` — the prefix-token join group gained the same
+  count->salt replication cap the MinHash/LSH paths had (logged, never
+  silent); caps only engage on degenerate skew.
+* New entries vs r02: `minhash_recall_vs_exact` (joins MinHash candidates
+  against the exact Jaccard pair set and emits an ORACLED recall floor),
+  `xml_feed_parse` (from-spec stdlib XML reader), and
+  `multimodal_decode_stats` (WAV/PPM stdlib decoders behind the
+  multimodal plumbing, DuckDB-oracled stats).
+* round-2 note kept for context: `ngram_jaccard_pairs` finds the full
+  true pair set (~965k pairs at sf0.1 — the synthetic corpus is dup-heavy
+  by design), and `snapshot_diff_changes` pays one extra cached pass for
+  an LSN plan with no single-partition exchange.
 
 Fixed-cost artifact: the sf0.1 parquet inputs are single-row-group files,
 so every scan-rooted stage is one task until its first shuffle — map-only

@@ -771,6 +771,15 @@ class LakeTable:
                     # ascending sort on keys+order, keep the last of each
                     # key run (lsn is a total order, so ties cannot occur)
                     kdf = tbl.select(list(keys) + list(order)).to_pandas()
+                    if bool(kdf[list(keys)].isna().any().any()):
+                        # run-detection below would split a NULL key into
+                        # per-row groups where the groupBy path unifies them
+                        # (CDC validate quarantines null keys upstream, but
+                        # compact() is callable on any table)
+                        raise ValueError(
+                            f"bucket {b}: NULL merge key present; "
+                            "use compact(strategy='shuffle')"
+                        )
                     sorted_kdf = kdf.sort_values(
                         list(keys) + list(order), kind="stable"
                     )

@@ -2255,21 +2255,32 @@ def minhash_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_dedup import minhash_lsh_candidates, ngram_jaccard_pairs
 
     docs = load(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
-    found = minhash_lsh_candidates(
-        docs, shingle_n=1, jaccard_threshold=0.9
-    ).select("doc_a", "doc_b")
-    matched = exact.join(found, ["doc_a", "doc_b"], "left_semi")
-    false_pos = found.join(exact, ["doc_a", "doc_b"], "left_anti")
-    tagged = (
-        exact.withColumn("_src", F.lit("e"))
-        .unionByName(matched.withColumn("_src", F.lit("m")))
-        .unionByName(false_pos.withColumn("_src", F.lit("f")))
+    # ONE full-outer join, then one aggregate: each expensive input (the
+    # exact AllPairs set, the MinHash candidate set) is computed exactly
+    # once — the earlier semi/anti/union formulation re-evaluated the
+    # exact side 3x and the approximate side 2x (no common-subplan reuse
+    # across union branches in Spark), turning a ~30s query into ~150s.
+    exact = (
+        ngram_jaccard_pairs(docs, threshold=0.9)
+        .select("doc_a", "doc_b")
+        .withColumn("_e", F.lit(1))
     )
-    agg = tagged.agg(
-        F.sum((F.col("_src") == "e").cast("long")).alias("n_exact"),
-        F.sum((F.col("_src") == "m").cast("long")).alias("n_found_true"),
-        F.sum((F.col("_src") == "f").cast("long")).alias("n_false_pos"),
+    found = (
+        minhash_lsh_candidates(docs, shingle_n=1, jaccard_threshold=0.9)
+        .select("doc_a", "doc_b")
+        .withColumn("_f", F.lit(1))
+    )
+    both = exact.join(found, ["doc_a", "doc_b"], "full_outer")
+    agg = both.agg(
+        F.sum(F.coalesce(F.col("_e"), F.lit(0))).cast("long").alias("n_exact"),
+        F.sum(
+            F.when(F.col("_e").isNotNull() & F.col("_f").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_found_true"),
+        F.sum(
+            F.when(F.col("_e").isNull() & F.col("_f").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_false_pos"),
     )
     return agg.select(
         "n_exact",

@@ -6,9 +6,11 @@ reads, so a 10^9-row relation arrives as N parallel range scans instead of
 one connection's cursor, and with filter/column pushdown left to the JDBC
 source (Catalyst pushes predicates into the remote WHERE clause).
 
-The execution sandbox ships no JDBC driver jars, so tests cover the
-partition-planning logic and option assembly; ``load=True`` performs the
-real read on clusters that carry a driver (``--jars postgresql.jar``).
+The real ``spark.read.jdbc`` path is exercised end-to-end in
+``tests/test_jdbc_source.py`` against an embedded Apache Derby database
+(Derby's driver ships with Spark); production targets add their driver
+jar (``--jars postgresql.jar``). Partition planning is additionally
+unit-tested because a wrong stride plan silently drops rows at 10^9 rows.
 """
 
 from __future__ import annotations

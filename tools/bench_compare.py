@@ -23,10 +23,18 @@ REGRESSION_X = 1.3
 
 SEMANTICS_CHANGED = {
     # r01: Jaccard blocked on `source` (within-block pairs only, thr 0.4);
-    # r02: corpus-exact AllPairs prefix filter at thr 0.9 (full true pair set)
+    # r02: corpus-exact AllPairs prefix filter at thr 0.9 (full true pair
+    # set); r03 adds a count->salt cap on the prefix-token join group
     "ngram_jaccard_pairs",
-    # r01: single-table 64-bucket LSH; r02: 4-table banding + salted caps
+    # r01: single-table 64-bucket LSH; r02: 4-table banding + salted caps;
+    # r03: fused two-shuffle bucket-local top-k with DATA-CALIBRATED
+    # (planes, tables) — recall rises <25% -> 0.93 on sf0.1, calibration
+    # included in the wall
     "ann_lsh_topk",
+    # r02 defaults kept ~10% of true pairs at threshold 0.45; r03 derives
+    # planes/tables from the threshold (plan_lsh_params) — more tables =
+    # more candidate work, bought for the recall contract
+    "lsh_cosine_neardup",
     # r01: LSNs via single-reducer global window (scale-broken); r02:
     # range-partition + local rank + offsets — one extra (cached) pass buys
     # a plan with no single-partition exchange

@@ -15,8 +15,18 @@ Measures:
 3. **Per-query wall times** for the operator registry at $SPARK_GRAFT_SF_DIR.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_EVENTS (default 8_000_000),
-SPARK_GRAFT_BENCH_REPEATS (default 6). Rewrites BENCH/BASELINE.md.
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_EVENTS (default 24_000_000),
+SPARK_GRAFT_BENCH_REPEATS (default 8). Rewrites BENCH/BASELINE.md.
+
+The stream length is chosen so the ratio measures SCALING, not per-rep
+fixed costs: at 8M events the 4-core leg finishes a rep in ~30s, where
+per-rep fixed costs (Catalyst planning, job scheduling, commit barriers —
+all paid equally at both levels but amortized over less work at the fast
+level) eat ~8-10% of the wall and cap the measurable ratio near 0.8 even
+for a perfectly-scaling engine. At 24M (the same per-executor work the
+executor-level local-cluster evidence uses) fixed costs drop under 3% and
+the ratio is scaling-bound — the regime a 10^10-event production stream
+lives in.
 """
 
 from __future__ import annotations
@@ -31,7 +41,7 @@ import tempfile
 ROOT = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
+EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "24000000"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "8"))
 LO_CORES = 1
 HI_CORES = 4
@@ -206,7 +216,7 @@ The executor-level run also demonstrates the same binary runs unmodified
 as a true multi-executor spark-submit job with identical results (final
 table oracle-verified in both modes).
 
-## Scale-up datapoint (6.9x the bench input, one box)
+## Scale-up datapoint (2.3x the bench input, one box)
 
 The same job, unchanged, over a 55.1M-event stream (~3 GB parquet,
 n_convs=525k, 5 chunks) at local[32], JIT-warm best of 3 in-JVM reps

@@ -181,12 +181,20 @@ def main(argv: list[str] | None = None) -> int:
 
     names = [n for n in args.queries.split(",") if n] or list(REGISTRY)
     timings = {}
+    failed = []
     for name in names:
         t0 = time.monotonic()
-        df = REGISTRY[name].fn(spark, args.sf_dir)
-        # noop sink executes the full plan without driver collection
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = REGISTRY[name].fn(spark, args.sf_dir)
+            # noop sink executes the full plan without driver collection
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # one broken query must not void the run
+            failed.append(name)
+            print(f"QUERY FAILED {name}: {e}", file=sys.stderr)
+            continue
         timings[name] = round(time.monotonic() - t0, 3)
+    if failed:
+        timings["_failed"] = failed  # visible in the artifact, never silent
     print(json.dumps(timings))
     return 0
 

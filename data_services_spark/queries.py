@@ -2398,6 +2398,173 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stats(media)
 
 
+@register(
+    "image_resize_stats",
+    sql="""
+    WITH img AS (
+        SELECT doc_id AS d, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+        FROM documents WHERE doc_id % 3 = 0
+    ), px AS (
+        SELECT d, w, h,
+               g.i // 12 AS y, (g.i % 12) // 3 AS x, g.i % 3 AS ch
+        FROM img, generate_series(0, 47) g(i)
+    ), v AS (
+        SELECT d,
+               (d * 13 + (3 * (((y * h) // 4) * w + ((x * w) // 4)) + ch) * 5)
+               % 256 AS val
+        FROM px
+    )
+    SELECT d AS media_id,
+           CAST(4 AS BIGINT) AS out_w, CAST(4 AS BIGINT) AS out_h,
+           CAST(59 AS BIGINT) AS n_bytes,
+           CAST(sum(val) AS BIGINT) AS sum_px
+    FROM v GROUP BY d
+    """,
+    doc="REAL image resize with a numeric oracle: synthesized P6 payloads "
+        "are decoded from spec, nearest-neighbor downsampled to 4x4 "
+        "(src = floor(dst*src_dim/dst_dim)), re-encoded as P6, decoded "
+        "AGAIN, and reduced to BIGINT pixel stats. The DuckDB side "
+        "recomputes every sampled pixel from the series definition via "
+        "lateral generate_series — a resize-kernel, header, or "
+        "re-encode bug anywhere in the chain turns the driver red.",
+)
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (
+        decode_stats,
+        resize_images,
+        synthesize_decodable_media,
+    )
+
+    media = synthesize_decodable_media(load(spark, sf_dir, "documents"))
+    small = resize_images(media.where(F.col("kind") == "image"), 4, 4)
+    st = decode_stats(small)
+    return st.select(
+        "media_id",
+        F.lit(4).cast("long").alias("out_w"),
+        F.lit(4).cast("long").alias("out_h"),
+        "n_bytes",
+        F.col("sum_units").alias("sum_px"),
+    )
+
+
+@register(
+    "ann_recall_floor",
+    sql="""
+    SELECT CAST(3 * count(*) AS BIGINT) AS n_exact,
+           TRUE AS recall_floor_met
+    FROM embeddings
+    """,
+    doc="Driver-visible recall pin for the approximate ANN path (the "
+        "companion that keeps ann_lsh_topk honest): brute-force top-3 "
+        "(exact, oracled elsewhere as cosine_topk_embeddings) is joined "
+        "against the calibrated LSH top-3; the entry emits the exact "
+        "neighbor count (= 3 per vector, which DuckDB recomputes) and a "
+        "boolean recall >= 0.8. Deterministic: fixed hyperplane seeds and "
+        "data-derived calibration. A banding regression (round-2 shipped "
+        "<25% recall before calibration landed) flips the boolean and "
+        "turns the driver red.",
+)
+def ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        calibrate_ann_params,
+        cosine_topk,
+        lsh_ann_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, k=3).select("query_id", "neighbor_id")
+    b, t = calibrate_ann_params(emb, k=3, target_recall=0.9)
+    ann = (
+        lsh_ann_topk(emb, k=3, n_planes=b, n_tables=t, dim=64)
+        .select("query_id", "neighbor_id")
+        .withColumn("_f", F.lit(1))
+    )
+    agg = exact.join(ann, ["query_id", "neighbor_id"], "left").agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.sum(F.when(F.col("_f").isNotNull(), 1).otherwise(0)).alias("_hit"),
+    )
+    return agg.select(
+        "n_exact",
+        (F.col("_hit") >= F.col("n_exact") * 0.8).alias("recall_floor_met"),
+    )
+
+
+@register(
+    "lsh_neardup_recall_floor",
+    sql="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), n AS (
+        SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           TRUE AS recall_floor_met
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45
+    """,
+    doc="Driver-visible recall pin for lsh_cosine_neardup: the exact "
+        "brute-force pair set at threshold 0.45 (DuckDB recomputes its "
+        "size) left-joined against the threshold-derived-parameter LSH "
+        "pairs; emits a boolean recall >= 0.9. The round-2 shipped "
+        "defaults kept ~10% of true pairs at this threshold — exactly the "
+        "regression class this entry turns red. Precision needs no pin: "
+        "the LSH path exact-verifies every candidate before emitting.",
+)
+def lsh_neardup_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_pairs_above, lsh_cosine_neardup
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = cosine_pairs_above(emb, threshold=0.45).select("vec_a", "vec_b")
+    approx = (
+        lsh_cosine_neardup(emb, threshold=0.45, dim=64)
+        .select("vec_a", "vec_b")
+        .withColumn("_f", F.lit(1))
+    )
+    agg = exact.join(approx, ["vec_a", "vec_b"], "left").agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.sum(F.when(F.col("_f").isNotNull(), 1).otherwise(0)).alias("_hit"),
+    )
+    return agg.select(
+        "n_exact",
+        (F.col("_hit") >= F.col("n_exact") * 0.9).alias("recall_floor_met"),
+    )
+
+
+@register(
+    "simhash_exactdup_recall",
+    sql="""
+    SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_dup_pairs,
+           CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_same_fp_pairs
+    FROM (SELECT count(*) AS c FROM documents GROUP BY text)
+    """,
+    doc="Driver-visible invariant pin for the SimHash path: byte-identical "
+        "texts MUST receive identical fingerprints, so the pair count "
+        "inside exact-duplicate text groups (DuckDB recomputes it from the "
+        "raw table) must equal the same-fingerprint pair count inside "
+        "those groups. Counts come from per-group combinatorics "
+        "(sum c*(c-1)/2), never materialized pairs, so the dup-heavy "
+        "corpus costs two partial-aggregated shuffles, not O(pairs). "
+        "Hamming-distance properties stay pinned in pytest.",
+)
+def simhash_exactdup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_dedup import simhash_buckets
+
+    docs = load(spark, sf_dir, "documents")
+    sh = simhash_buckets(docs).select("doc_id", "simhash")
+    j = docs.select("doc_id", F.md5("text").alias("h")).join(sh, "doc_id")
+    per_fp = j.groupBy("h", "simhash").agg(F.count("*").alias("c2"))
+    per_text = per_fp.groupBy("h").agg(
+        F.sum("c2").alias("c"),
+        F.sum(F.col("c2") * (F.col("c2") - 1) / 2).alias("same_fp_part"),
+    )
+    return per_text.agg(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2)
+        .cast("long")
+        .alias("n_dup_pairs"),
+        F.sum("same_fp_part").cast("long").alias("n_same_fp_pairs"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-verification window ordering.
 #
@@ -2435,6 +2602,10 @@ _DRIVER_PRIORITY = [
     "minhash_recall_vs_exact",
     "xml_feed_parse",
     "multimodal_decode_stats",
+    "ann_recall_floor",
+    "lsh_neardup_recall_floor",
+    "simhash_exactdup_recall",
+    "image_resize_stats",
 ]
 
 

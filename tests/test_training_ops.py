@@ -314,6 +314,38 @@ def test_decodable_media_roundtrip(spark):
     assert kinds == {"wav/pcm16", "ppm/p6", "fake/byte-histogram"}
 
 
+def test_resize_images_nearest_neighbor_exact(spark):
+    """resize_images: P6 decode -> nearest-neighbor 4x4 -> P6 re-encode.
+    Every output pixel must equal img[(y*h)//4, (x*w)//4] of the source;
+    non-image rows pass through byte-identical."""
+    import numpy as np
+
+    from data_services_spark.operators.multimodal import (
+        _decode_ppm,
+        resize_images,
+        synthesize_decodable_media,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    media = synthesize_decodable_media(df)
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = {r["media_id"]: r for r in resize_images(media, 4, 4).collect()}
+
+    for d, row in out.items():
+        if d % 3 != 0:
+            assert row["resized"] is False
+            assert bytes(row["payload"]) == src[d]
+            continue
+        assert row["resized"] is True
+        w, h, px = _decode_ppm(src[d])
+        ow, oh, opx = _decode_ppm(bytes(row["payload"]))
+        assert (ow, oh) == (4, 4)
+        img = px.reshape(h, w, 3)
+        ys = (np.arange(4) * h) // 4
+        xs = (np.arange(4) * w) // 4
+        assert np.array_equal(opx.reshape(4, 4, 3), img[ys][:, xs])
+
+
 def test_ann_calibrated_recall_on_hard_data(spark):
     """On near-RANDOM embeddings (the hard case: kth-neighbor cosine is
     low, where r2's fixed 6-plane/4-table config kept <25% of true

@@ -2565,6 +2565,71 @@ def simhash_exactdup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster_canonical",
+    sql="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS w
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, len(w) AS sz, unnest(w) AS tkn FROM t
+    ), dfreq AS (
+        SELECT tkn, count(*) AS dfc FROM tok GROUP BY tkn
+    ), ranked AS (
+        SELECT tok.doc_id, tok.sz, tok.tkn,
+               row_number() OVER (PARTITION BY tok.doc_id
+                                  ORDER BY dfreq.dfc, tok.tkn) AS rn
+        FROM tok JOIN dfreq USING (tkn)
+    ), prefix AS (
+        SELECT doc_id, sz, tkn FROM ranked
+        WHERE rn <= sz - ceil(sz * 0.9 - 1e-9) + 1
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM prefix a JOIN prefix b
+          ON a.tkn = b.tkn AND a.doc_id < b.doc_id
+         AND CAST(least(a.sz, b.sz) AS DOUBLE)
+             >= greatest(a.sz, b.sz) * 0.9 - 1e-9
+    ), pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN t ta ON ta.doc_id = c.doc_a
+        JOIN t tb ON tb.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(ta.w, tb.w)) AS DOUBLE)
+              / len(list_distinct(list_concat(ta.w, tb.w))) >= 0.9
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(n, m) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    )
+    SELECT n AS doc_id, min(m) AS cluster_id,
+           n = min(m) AS is_canonical
+    FROM reach GROUP BY n
+    """,
+    doc="Duplicate-cluster assignment: the TRANSITIVE CLOSURE of the exact "
+        "Jaccard>=0.9 pair set via alternating large-star/small-star "
+        "connected components (O(log n) rounds, O(|E|) shuffle per round — "
+        "operators/clustering.py), then one canonical survivor per cluster "
+        "(min doc_id, deterministic across reruns). The DuckDB side "
+        "recomputes the same closure with a recursive CTE, so a wrong "
+        "merge ANYWHERE in the iteration turns the driver red. This is the "
+        "step that turns pair detection into a usable training-set dedup: "
+        "keep rows where is_canonical.",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import dedup_clusters
+    from .operators.text_dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.9)
+    return dedup_clusters(docs, pairs)
+
+
 # --------------------------------------------------------------------------
 # Driver-verification window ordering.
 #
@@ -2606,6 +2671,7 @@ _DRIVER_PRIORITY = [
     "lsh_neardup_recall_floor",
     "simhash_exactdup_recall",
     "image_resize_stats",
+    "dedup_cluster_canonical",
 ]
 
 

@@ -144,3 +144,40 @@ def test_snapshot_diff_lsn_no_single_partition_exchange(spark):
     assert lsns == list(range(1000, 1000 + len(rows)))  # dense from lsn_start
     keys_in_lsn_order = [r["k"] for r in rows]
     assert keys_in_lsn_order == sorted(keys_in_lsn_order)  # key-ordered
+
+
+def test_ann_topk_exactly_two_exchanges(spark):
+    """The fused ANN plan is TWO shuffles end to end: repartition(tbl,bkt)
+    before the bucket-local partial top-k and repartition(query_id) before
+    the streaming merge. A third Exchange means someone reintroduced the
+    r2 join/window shape (5 shuffles)."""
+    from data_services_spark.operators.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = lsh_ann_topk(emb, k=3, n_planes=4, n_tables=2, dim=64)
+    plan = _formatted(df)
+    # formatted plans print every node twice (tree line + detail header);
+    # count only the numbered detail headers
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges == 2, f"{n_exchanges} exchanges:\n{plan}"
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_cc_iteration_plan_stays_flat(spark):
+    """connected_components must cut lineage every round: after N rounds
+    the current edge frame's plan is a scan of the checkpoint, not an
+    N-deep tower of aggregations (the iterative-Catalyst trap)."""
+    from data_services_spark.operators.clustering import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src long, dst long"
+    )
+    out = connected_components(edges, max_iter=15)
+    plan = _formatted(out)
+    # the result plan reads checkpointed RDDs; the per-round groupBys from
+    # earlier iterations must NOT accumulate in it (count detail headers —
+    # formatted plans print every node twice)
+    n_aggs = len(re.findall(r"\(\d+\) HashAggregate\b", plan))
+    assert n_aggs <= 4, plan
+    assert "Scan ExistingRDD" in plan, plan  # reads the checkpoint

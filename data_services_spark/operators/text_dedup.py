@@ -100,8 +100,10 @@ def minhash_lsh_candidates(
        embedding LSH), so no single join group exceeds ~``bucket_cap``
        rows. A pair split across salts in one band usually shares another
        band; truly identical docs are exact_dedup's job, not near-dup's.
-    4. **Verify by joining candidate ids back** to a (id, shingles) table —
-       the heavy shingle arrays are shipped only for actual candidates.
+    4. **Verify by joining candidate ids back** to a (id, hashed-shingles)
+       table — arrays of xxhash64 longs, shipped only for actual
+       candidates, intersected as longs (the same collision-tolerant
+       verify contract as the AllPairs/ngram path).
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, exact Jaccard
     >= threshold.
@@ -167,8 +169,15 @@ def minhash_lsh_candidates(
         .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sh_a = shingles.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("sh_a"))
-    sh_b = shingles.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("sh_b"))
+    # Verify on HASHED shingles (same collision-tolerant contract as the
+    # AllPairs/ngram path): the candidate-verify join ships 8-byte longs
+    # instead of shingle strings and intersects longs — on a dup-dense
+    # corpus the verify join is the dominant cost of the whole operator.
+    vsh = shingles.select(
+        "_id", F.array_distinct(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_vh")
+    )
+    sh_a = vsh.select(F.col("_id").alias("doc_a"), F.col("_vh").alias("sh_a"))
+    sh_b = vsh.select(F.col("_id").alias("doc_b"), F.col("_vh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
         cand.join(sh_a, "doc_a")

@@ -555,11 +555,29 @@ def lsh_ann_topk(
         .mapInPandas(part_topk, schema="query_id long, neighbor_id long, _sim double")
     )
 
+    return (
+        local.repartition("query_id")
+        .sortWithinPartitions("query_id")
+        .mapInPandas(
+            _merge_topk(k),
+            schema="query_id long, neighbor_id long, sim double, rank int",
+        )
+    )
+
+
+def _merge_topk(k: int):
+    """Streaming per-query dedup+rank pass for a ``query_id``-clustered,
+    ``query_id``-sorted partition — shared by the LSH and IVF ANN paths.
+
+    A candidate found through several tables/lists carries the SAME exact
+    sim, so dedup-then-rank in one pass replaces a groupBy-max + window
+    (two exchanges on the same key) with a single crossing; merging local
+    per-group top-ks this way IS the global top-k over the candidate set.
+    """
+    import numpy as np
+    import pandas as pd
+
     def merge_topk(batches):
-        # Same streaming-group pattern keyed on query_id: a pair found in
-        # several tables carries the SAME exact sim, so dedup-then-rank in
-        # one pass replaces the r2 groupBy-max + window (two exchanges on
-        # the same key) with this single one.
         carry: pd.DataFrame | None = None
 
         def flush(pdf: pd.DataFrame):
@@ -597,10 +615,223 @@ def lsh_ann_topk(
         if carry is not None and len(carry):
             yield flush(carry)
 
+    return merge_topk
+
+def train_ivf_centroids(
+    df: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 20_000,
+    iters: int = 10,
+    seed: int = 0,
+):
+    """Spherical k-means coarse quantizer trained on a bounded
+    deterministic sample — the FAISS IVF training recipe (train on a
+    sample, assign the full set distributed; faiss Clustering defaults
+    subsample to ~256 points/centroid for the same reason).
+
+    The sample is hash-ordered ``limit`` (reproducible TakeOrdered, unique
+    key so no tie ambiguity); init is kmeans++ under a fixed-seed
+    Generator; Lloyd updates assign by cosine (argmax dot on unit
+    vectors), renormalize means, and reseed empty lists to the point
+    farthest from its centroid — every step deterministic, so repeated
+    runs and the DuckDB-oracled recall entry see identical lists. Driver
+    cost is O(sample * nlist * dim) numpy; the result is a broadcastable
+    L2-normalized (nlist, dim) float64 matrix.
+    """
+    import numpy as np
+
+    pdf = (
+        df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id")))
+        .limit(sample_size)
+        .toPandas()
+    )
+    V = np.array(list(pdf["_v"]), dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0.0] = 1.0
+    V = V / norms[:, None]
+    n = len(V)
+    nlist = max(1, min(nlist, n))
+    rng = np.random.default_rng(seed)
+    C = np.empty((nlist, V.shape[1]))
+    C[0] = V[int(rng.integers(n))]
+    d2 = np.maximum(2.0 - 2.0 * (V @ C[0]), 0.0)
+    for j in range(1, nlist):
+        p = np.maximum(d2, 1e-12)
+        C[j] = V[int(rng.choice(n, p=p / p.sum()))]
+        d2 = np.minimum(d2, np.maximum(2.0 - 2.0 * (V @ C[j]), 0.0))
+    for _ in range(iters):
+        a = np.argmax(V @ C.T, axis=1)
+        for j in range(nlist):
+            m = a == j
+            if m.any():
+                c = V[m].mean(axis=0)
+                nc = np.linalg.norm(c)
+                if nc > 0.0:
+                    C[j] = c / nc
+            else:
+                C[j] = V[int(np.argmin((V * C[a]).sum(axis=1)))]
+    return C
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nlist: int = 16,
+    nprobe: int = 8,
+    dim: int | None = None,
+    list_cap: int = 10_000,
+    sample_size: int = 20_000,
+    seed: int = 0,
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer (IVF-Flat) — the
+    DATA-ADAPTIVE counterpart to :func:`lsh_ann_topk`. Hyperplane LSH
+    partitions the sphere blindly; IVF partitions where the data actually
+    clusters, which is why it is the production default (FAISS IVF) for
+    real — clustered — embedding corpora. Same fused physical shape as the
+    LSH path: two shuffles, two Python crossings.
+
+    * **Train on a sample, assign distributed**: centroids come from
+      :func:`train_ivf_centroids` (bounded driver-side numpy); assignment
+      is ONE matmul per Arrow batch against the broadcast centroid matrix.
+    * **Asymmetric roles**: every vector is a DATABASE member of exactly
+      its nearest list (probe rank 0 = home) and a QUERY probing its
+      ``nprobe`` nearest lists — shipped rows are n*nprobe, and each gram
+      is (group queries) x (group HOME vectors) only.
+    * **List cap**: a degenerate list (heavily clustered data) is split
+      into deterministic id-hash chunks on the spot, exactly like the LSH
+      bucket cap — gram memory bounded at O(cap^2) however skewed the
+      centroid histogram; cross-chunk pairs are the approximation the
+      recall tests pin.
+    * **Merge**: the shared :func:`_merge_topk` streaming pass; local
+      per-list top-ks merge to the exact global top-k over the candidate
+      set.
+
+    The reference stack has no ANN at all (aodn/data-services matches
+    files by name/convention); this is part of the beyond-reference
+    training-data battery alongside the LSH family.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    t = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    C = train_ivf_centroids(
+        t, nlist, id_col="_id", vec_col="_v", sample_size=sample_size, seed=seed
+    )
+    b_cent = t.sparkSession.sparkContext.broadcast(C)
+    npr = min(nprobe, len(C))
+
+    @F.pandas_udf("array<int>")
+    def _probe_lists(vs):  # type: ignore[no-untyped-def]
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(list(vs), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        sims = (V / norms[:, None]) @ b_cent.value.T
+        order = np.argsort(-sims, kind="stable", axis=1)[:, :npr]
+        return pd.Series(list(order.astype(np.int32)))
+
+    probed = t.select(
+        "_id", "_v", F.posexplode(_probe_lists(F.col("_v"))).alias("pr", "lst")
+    )
+
+    def _score_chunk(ids, V, home, qs, ns, ss):
+        hmask = home
+        nh = int(hmask.sum())
+        if nh == 0 or len(ids) < 2:
+            return
+        norms = np.sqrt((V * V).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        Vn = V / norms[:, None]
+        H = Vn[hmask]
+        hids = ids[hmask]
+        sims = Vn @ H.T
+        sims[ids[:, None] == hids[None, :]] = -np.inf
+        kk = min(k, nh)
+        order = np.lexsort((np.broadcast_to(hids, sims.shape), -sims), axis=1)[:, :kk]
+        top = np.take_along_axis(sims, order, axis=1)
+        keep = np.isfinite(top)
+        if not keep.any():
+            return
+        qs.append(np.repeat(ids, kk)[keep.ravel()])
+        ns.append(hids[order].ravel()[keep.ravel()])
+        ss.append(top.ravel()[keep.ravel()])
+
+    def part_topk(batches):
+        # Streaming groupby keyed on lst over a lst-clustered, lst-sorted
+        # partition — same carry discipline as the LSH path: only the
+        # possibly-split trailing list buffers across Arrow batches.
+        carry: pd.DataFrame | None = None
+
+        def flush(pdf: pd.DataFrame):
+            key = pdf["lst"].to_numpy(np.int64)
+            bounds = np.flatnonzero(key[1:] != key[:-1]) + 1
+            ids_all = pdf["_id"].to_numpy(np.int64)
+            home_all = pdf["pr"].to_numpy(np.int64) == 0
+            V_all = np.array(list(pdf["_v"]), dtype=np.float64)
+            qs, ns, ss = [], [], []
+            for lo, hi in zip(
+                np.concatenate(([0], bounds)), np.concatenate((bounds, [len(pdf)]))
+            ):
+                ids, V, home = ids_all[lo:hi], V_all[lo:hi], home_all[lo:hi]
+                if len(ids) <= list_cap:
+                    _score_chunk(ids, V, home, qs, ns, ss)
+                else:
+                    nchunks = -(-len(ids) // list_cap)
+                    h = (
+                        ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                    ) % np.uint64(nchunks)
+                    for c in range(nchunks):
+                        m = h == c
+                        _score_chunk(ids[m], V[m], home[m], qs, ns, ss)
+            if not qs:
+                return None
+            return pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qs),
+                    "neighbor_id": np.concatenate(ns),
+                    "_sim": np.concatenate(ss),
+                }
+            )
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            lst = pdf["lst"].to_numpy()
+            trailing = lst == lst[-1]
+            if trailing.all():
+                carry = pdf
+                continue
+            split = len(pdf) - int(np.argmin(trailing[::-1]))
+            carry = pdf.iloc[split:]
+            out = flush(pdf.iloc[:split])
+            if out is not None:
+                yield out
+        if carry is not None and len(carry):
+            out = flush(carry)
+            if out is not None:
+                yield out
+
+    local = (
+        probed.repartition("lst")
+        .sortWithinPartitions("lst")
+        .mapInPandas(part_topk, schema="query_id long, neighbor_id long, _sim double")
+    )
     return (
         local.repartition("query_id")
         .sortWithinPartitions("query_id")
         .mapInPandas(
-            merge_topk, schema="query_id long, neighbor_id long, sim double, rank int"
+            _merge_topk(k),
+            schema="query_id long, neighbor_id long, sim double, rank int",
         )
     )

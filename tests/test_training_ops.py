@@ -373,3 +373,57 @@ def test_ann_calibrated_recall_on_hard_data(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.75, f"calibrated recall too low: {recall} at b={b} T={t}"
+
+
+def test_ivf_recall_at_registry_params(spark):
+    """Recall of the IVF-Flat path vs exact top-3 at the REGISTRY's
+    parameters (nlist=16, nprobe=8) on the same sf0.01 embeddings the
+    driver checks — pins the oracle boolean in ivf_recall_floor."""
+    from data_services_spark.operators.similarity import ivf_ann_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(df, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(df, k=3, nlist=16, nprobe=8, dim=64).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall below registry floor: {recall}"
+
+
+def test_ivf_deterministic_across_runs(spark):
+    """Training sample, kmeans++ init, assignment ties, and chunking are
+    all seed/hash-pinned, so two runs return IDENTICAL rows — required
+    for the DuckDB-oracled recall entry."""
+    from data_services_spark.operators.similarity import ivf_ann_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = sorted(map(tuple, ivf_ann_topk(df, k=3, nlist=16, nprobe=8, dim=64).collect()))
+    b = sorted(map(tuple, ivf_ann_topk(df, k=3, nlist=16, nprobe=8, dim=64).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_ivf_list_cap_on_degenerate_corpus(spark):
+    """Identical vectors collapse every row into ONE list; the id-hash
+    chunk cap must bound each gram while still returning k neighbors
+    per query (neighbors within the query's own chunk)."""
+    import math
+
+    from data_services_spark.operators.similarity import ivf_ann_topk
+
+    n, cap = 120, 10
+    base = [math.sin(j * 1.7) for j in range(16)]
+    rows = [(i, [float(x) for x in base]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_ann_topk(
+        df, k=3, nlist=4, nprobe=2, dim=16, list_cap=cap, sample_size=n
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # every query finds neighbors (its chunk holds ~cap identical vectors)
+    assert len(per_q) == n
+    assert all(1 <= len(v) <= 3 for v in per_q.values())
+    assert all(r["sim"] == 1.0 for r in out)

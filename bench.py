@@ -216,23 +216,35 @@ The executor-level run also demonstrates the same binary runs unmodified
 as a true multi-executor spark-submit job with identical results (final
 table oracle-verified in both modes).
 
-## Scale-up datapoint (2.3x the bench input, one box)
+## Scale-up datapoints (2.3x and 4.2x the bench input, one box)
 
-The same job, unchanged, over a 55.1M-event stream (~3 GB parquet,
-n_convs=525k, 5 chunks) at local[32], JIT-warm best of 3 in-JVM reps
-(re-measured round 2; round 1 measured 410k ev/s on 52.5M events):
+The same job, unchanged, at local[32], best in-JVM rep (re-measured round
+3 on an idle box; round 1: 410k ev/s on 52.5M, round 2: 723k on 55.1M):
 
-| events | wall (apply) | apply ev/s | incl. compaction (ev/s) | final rows |
-|---|---|---|---|---|
-| 55,122,541 | 76.2s | **722,930** | 564,540 | 19,898,914 |
+| events | n_convs | chunks | wall (apply) | apply ev/s | incl. compaction (ev/s) | final rows |
+|---|---|---|---|---|---|---|
+| 57,747,913 | 551k | 5 | 63.1s | **914,529** | 707,493 | 20,848,961 |
+| 104,997,929 | 1.05M | 8 | 170.7s | **615,015** | 329,166 | 37,904,152 |
 
-Per-event throughput IMPROVES at larger scale (723k vs ~300k ev/s on the
-8M input): bigger chunks amortize per-chunk fixed costs, and driver-side
-work stays flat (footer stats ~14 ms, lineage buffer ~30 ms per chunk —
-independent of chunk size). Extrapolating with the measured scaling
-efficiency: 10^10 events ~= 3.8 h on one 32-core box, minutes on a
-40-executor cluster of the same boxes — chunked replay keeps state
-O(bucket manifest), so nothing in the driver grows with stream length.
+The 55M row is the direct round-over-round comparison: 914k vs r2's 723k
+ev/s (1.27x — the zero-shuffle compaction and apply-path wins). Per-event
+throughput IMPROVES from the 24M bench input to 55M (bigger chunks
+amortize per-chunk fixed costs; driver-side work stays flat — footer
+stats ~14 ms, lineage buffer ~30 ms per chunk, independent of chunk
+size), then drops ~1.5x at 105M on ONE box: the run writes a 2x-larger
+lake through the same single disk and fills the same page cache, so the
+apply becomes write-bandwidth-bound — the exact resource a real cluster
+adds with every executor (the substrate-floor argument again; the e2e
+column also pays a one-shot final rewrite of a 37.9M-row table on one
+box, which `rewrite_data_files` parallelizes across executors in
+production). Consistent with that reading, at 105M the FIRST rep (hot
+page cache from the generator, no accumulated writeback) is the best and
+later reps degrade ~30% — IO contention, not engine state, since the 55M
+reps improve monotonically (90.5 -> 76.7 -> 63.1) as JIT warms.
+Driver state stays O(bucket manifest) at every size; nothing in the
+driver grows with stream length. Extrapolating the measured efficiencies:
+10^10 events ~= 4.5 h of apply on one 32-core box, minutes on a
+40-executor cluster of the same boxes.
 
 ## Per-query notes (round-3 deltas vs BENCH_r02)
 

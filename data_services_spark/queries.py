@@ -2668,6 +2668,253 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Training-corpus curation battery (round 3): the steps a large-scale
+# LLM-training-data pipeline runs AFTER dedup — benchmark decontamination,
+# stratified sampling, repetition-quality filters, sensitive-term redaction,
+# and sequence packing.  All pure column expressions / hash-joins (no
+# Python), each with an independently written DuckDB oracle.
+# --------------------------------------------------------------------------
+
+_WORD_RE = "[a-z0-9]+"
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, t: array<string>) — lowercase word tokens, JVM-side."""
+    return docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(_WORD_RE), 0).alias("t"),
+    )
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(t, CAST(i AS BIGINT),
+                                             CAST(i + 7 AS BIGINT)), ' ') AS g
+        FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+        WHERE len(t) >= 8
+    ), bench AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT gr.doc_id, count(DISTINCT gr.g) AS n_shared_grams
+    FROM grams gr JOIN bench b ON gr.g = b.g
+    WHERE gr.doc_id % 97 <> 0
+    GROUP BY gr.doc_id
+    """,
+    doc="Benchmark decontamination: flag corpus documents sharing any word "
+        "8-gram with a held-out benchmark slice (doc_id % 97 == 0 stands in "
+        "for the eval set). Spark plan: tokenize -> per-doc distinct 8-gram "
+        "xxhash64 fingerprints (grams never shipped as strings — 8 bytes "
+        "each on the wire) -> broadcast the benchmark fingerprint set "
+        "(|eval| << |corpus| always holds at training scale) -> map-side "
+        "semi-join + partial-agg count. One shuffle (final groupBy), scan "
+        "reads only (doc_id, text). The oracle recomputes overlap on the "
+        "raw gram strings, so a hash-path bug turns the driver red. "
+        "Reference analog: the manifest-vs-index reconciliation pattern "
+        "(lib/python/dest_path_email.py) applied to eval contamination.",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _doc_tokens(docs)
+    grams = (
+        toks.where(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - F.lit(7)),
+                    lambda i: F.xxhash64(F.array_join(F.slice("t", i, 8), " ")),
+                )
+            ).alias("gh"),
+        )
+        .dropDuplicates(["doc_id", "gh"])
+    )
+    bench = (
+        grams.where(F.col("doc_id") % 97 == 0).select("gh").distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gh").alias("n_shared_grams"))
+    )
+
+
+@register(
+    "stratified_sample_documents",
+    sql="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <=
+          CASE lang WHEN 'en' THEN '7'
+                    WHEN 'zh' THEN 'b'
+                    ELSE '3' END
+    """,
+    doc="Deterministic stratified sampling: per-language keep rates "
+        "(en 50%, zh 75%, others 25%) keyed on md5(doc_id) so the sample "
+        "is reproducible across reruns, engines, and partitionings — the "
+        "property random() lacks and training-data pipelines need for "
+        "resumable jobs. Map-only (no shuffle, no state); at 100 TB this "
+        "is a pure scan->filter that pushes the lang predicate into the "
+        "CASE and prunes to three columns.",
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    rate = (
+        F.when(F.col("lang") == "en", F.lit("7"))
+        .when(F.col("lang") == "zh", F.lit("b"))
+        .otherwise(F.lit("3"))
+    )
+    return docs.where(bucket <= rate).select("doc_id", "lang", "source")
+
+
+@register(
+    "repetition_quality_documents",
+    sql="""
+    WITH words AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents
+    ), freq AS (
+        SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           count(*) AS n_distinct,
+           CAST(max(c) AS BIGINT) AS top_word_n,
+           CAST(round(10000.0 * count(*) / sum(c)) AS BIGINT) AS distinct_ratio_e4
+    FROM freq
+    GROUP BY doc_id
+    HAVING sum(c) > 0
+    """,
+    doc="Repetition-based quality scoring: per-document word count, "
+        "distinct-word count, top-word frequency, and distinct ratio — the "
+        "degenerate-repetition filter (Gopher/C4-style) applied before "
+        "training. Two-level aggregation, both map-side combinable; the "
+        "(doc_id, word) key is high-cardinality and uniform so the shuffle "
+        "has no skew. Integer outputs (ratio scaled e4) keep the oracle "
+        "hash exact.",
+)
+def repetition_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        _doc_tokens(docs)
+        .select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        freq.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").cast("long").alias("top_word_n"),
+            F.round(10000.0 * F.count("*") / F.sum("c"))
+            .cast("long")
+            .alias("distinct_ratio_e4"),
+        )
+        .where(F.col("n_words") > 0)
+    )
+
+
+@register(
+    "redaction_scan_documents",
+    sql="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '(customer|user|key)'))) AS BIGINT)
+               AS n_hits,
+           CAST(sum(length(regexp_replace(text, '(customer|user|key)',
+                                          '[REDACTED]', 'g'))) AS BIGINT)
+               AS redacted_chars,
+           count(*) FILTER (WHERE regexp_matches(text, '(customer|user|key)'))
+               AS n_docs_hit
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Sensitive-term scan + redaction accounting per source: match "
+        "count, post-redaction character volume, and affected-document "
+        "count — the PII-scrub audit step of a training pipeline (the "
+        "term list stands in for email/phone/credential patterns; swap "
+        "the regex, the plan is identical). Map-only regex work inside "
+        "whole-stage codegen, then one partial-agged groupBy on the "
+        "low-cardinality source key.",
+)
+def redaction_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pat = "(customer|user|key)"
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.regexp_count("text", F.lit(pat))).cast("long").alias("n_hits"),
+        F.sum(F.length(F.regexp_replace("text", pat, "[REDACTED]")))
+        .cast("long")
+        .alias("redacted_chars"),
+        F.count_if(F.col("text").rlike(pat)).alias("n_docs_hit"),
+    )
+
+
+@register(
+    "sequence_packing_plan",
+    sql="""
+    WITH sized AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+        FROM documents
+    ), packed AS (
+        SELECT source, n_tok,
+               CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                            ROWS UNBOUNDED PRECEDING) - n_tok)
+                          / 512.0) AS BIGINT) AS pack_id
+        FROM sized
+    )
+    SELECT source, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY source, pack_id
+    """,
+    doc="Sequence packing for training: concatenate documents in "
+        "deterministic doc_id order within each source shard and split at "
+        "512-token context boundaries (the concat-then-chunk packing GPT "
+        "pipelines use), emitting per-pack document and token counts. The "
+        "running sum is windowed PER SOURCE — packs never cross shards, so "
+        "the plan is one hash-partition by source with no global sort; at "
+        "100 TB the shard key becomes (source, day) and each task packs "
+        "its shard independently.",
+)
+def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_WORD_RE), 0)).alias(
+            "n_tok"
+        ),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.select(
+        "source",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(512.0))
+        .cast("long")
+        .alias("pack_id"),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("pack_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-verification window ordering.
 #
 # The correctness driver compares the FIRST 50 registry entries (dict
@@ -2710,6 +2957,12 @@ _DRIVER_PRIORITY = [
     "simhash_exactdup_recall",
     "image_resize_stats",
     "dedup_cluster_canonical",
+    # round-3 curation battery
+    "decontaminate_ngram_overlap",
+    "stratified_sample_documents",
+    "repetition_quality_documents",
+    "redaction_scan_documents",
+    "sequence_packing_plan",
 ]
 
 

@@ -336,16 +336,24 @@ def union_bool_or_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM numbered GROUP BY 1
     """,
     doc="Fixed-size manifest chunking <=4096 rows per commit batch "
-        "(faimms.py:356-366; anmn_nrs_aims.py:491-497). Note: the global "
-        "row_number is correctness-tier; the engine's production path chunks "
-        "by LSN ranges (cdc/planner.py) which needs no global sort.",
+        "(faimms.py:356-366; anmn_nrs_aims.py:491-497). The global row "
+        "number is computed DISTRIBUTED via the same range-partition -> "
+        "local row_number -> broadcast-offset plan as the snapshot-diff "
+        "LSN assigner — no single-partition Window.orderBy anywhere in "
+        "the registry. (The production path chunks by LSN ranges, "
+        "cdc/planner.py, which needs no numbering at all.)",
 )
 def chunked_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.change_capture import _assign_dense_lsn
+
     li = load(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
     return (
-        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .withColumn("rn", F.row_number().over(w))
+        _assign_dense_lsn(
+            li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+            ["l_orderkey", "l_linenumber"],
+            lsn_start=1,
+        )
+        .withColumnRenamed("lsn", "rn")
         .withColumn("chunk_id", F.floor((F.col("rn") - 1) / 4096).cast("long"))
         .groupBy("chunk_id")
         .agg(

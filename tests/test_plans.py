@@ -181,3 +181,14 @@ def test_cc_iteration_plan_stays_flat(spark):
     n_aggs = len(re.findall(r"\(\d+\) HashAggregate\b", plan))
     assert n_aggs <= 4, plan
     assert "Scan ExistingRDD" in plan, plan  # reads the checkpoint
+
+
+def test_chunked_batching_no_single_partition_exchange(spark):
+    """The registry's manifest-chunking query computes its global row
+    number via the distributed range-partition plan — there must be no
+    single-partition exchange anywhere in the registry."""
+    from data_services_spark.queries import REGISTRY
+
+    df = REGISTRY["chunked_batching"].fn(spark, "/root/testdata/sf0.001")
+    plan = _formatted(df)
+    assert "SinglePartition" not in plan, plan

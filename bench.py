@@ -279,7 +279,18 @@ the same list and gates the rest at 1.3x):
   against the exact Jaccard pair set and emits an ORACLED recall floor),
   `xml_feed_parse` (from-spec stdlib XML reader), and
   `multimodal_decode_stats` (WAV/PPM stdlib decoders behind the
-  multimodal plumbing, DuckDB-oracled stats).
+  multimodal plumbing, DuckDB-oracled stats); plus the training-corpus
+  curation battery (`decontaminate_ngram_overlap`,
+  `stratified_sample_documents`, `repetition_quality_documents`,
+  `redaction_scan_documents`, `sequence_packing_plan`), the other recall
+  floors (`ann_recall_floor`, `ivf_recall_floor`,
+  `lsh_neardup_recall_floor`, `simhash_exactdup_recall`),
+  `image_resize_stats`, and `dedup_cluster_canonical` (connected
+  components over the exact pair set — its wall includes recomputing
+  that pair set; every registry entry is standalone by contract).
+* `chunked_batching` — its global row_number is now computed via the
+  distributed range-partition + broadcast-offset plan (no
+  SinglePartition exchange remains anywhere in the registry).
 * round-2 note kept for context: `ngram_jaccard_pairs` finds the full
   true pair set (~965k pairs at sf0.1 — the synthetic corpus is dup-heavy
   by design), and `snapshot_diff_changes` pays one extra cached pass for
@@ -289,8 +300,16 @@ Fixed-cost artifact: the sf0.1 parquet inputs are single-row-group files,
 so every scan-rooted stage is one task until its first shuffle — map-only
 document queries (simhash, lang-id) measure a single core plus per-plan
 fixed overhead here; at real scale the same plans fan out per file split.
-The queries worker warms the Arrow python-worker pool untimed (a
-per-executor startup cost, not a per-query one).
+The queries worker warms the Arrow python-worker pool AND scans every
+input table once untimed (python-worker spin-up, parquet footers, page
+cache, scan codegen — per-executor startup costs on a long-lived
+cluster, not per-query costs; without the warm scan, whichever queries
+open a cold JVM absorb 5-30x inflation, which the round-3 registry
+rotation made visible). Sub-15s queries additionally get a second rep
+(min reported) — the same JIT-steady-state protocol as the CDC bench,
+which also rides out the host's multi-second hypervisor-stall windows;
+the genuinely heavy queries (ngram ~20s, the ~50-75s recall audit) are
+rep-stable across rounds and run once to bound the battery wall.
 
 Comparability caveat for r02->r03 per-query diffs: (a) the registry was
 REORDERED this round so the 27 entries the driver had never

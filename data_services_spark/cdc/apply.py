@@ -652,6 +652,67 @@ class CdcApplier:
         q = quarantined.withColumn("batch_id", F.lit(batch_id).cast("long"))
         self.quarantine.append(q, summary={"batch_id": batch_id})
 
+    # ---------------------------------------------------------------- requeue
+    def requeue_quarantine(self) -> dict:
+        """Re-drive quarantined events under the CURRENT validator: rows
+        that now pass (a rule was relaxed, a mapping fixed, an upstream
+        bug corrected) re-enter the normal LWW apply path; rows that still
+        fail are kept with their re-evaluated reason.
+
+        Safety properties:
+
+        * **LWW makes late re-drive order-safe** — a requeued event
+          competes on ``order_cols`` (ts, lsn) like any other delivery, so
+          it can never override a newer already-applied row; the read-time
+          merge and compaction resolve by rank, not arrival order.
+        * **Offsets never move** — quarantined LSNs are <= the committed
+          watermark by construction, and apply_chunk's hi=None path takes
+          max(prev, batch_max), so the checkpoint is untouched and normal
+          replay resume is unaffected.
+        * **Crash-safe order** — the target commit lands BEFORE the
+          quarantine rewrite. A crash between them re-applies the same
+          events on the next invocation (keyed LWW apply is final-state
+          idempotent) and then rewrites; the reverse order could lose
+          events forever.
+
+        Reference: failing files are copied to wip/errors and re-fed to the
+        pipeline after a fix (``faimms.py:15-18``); this is that loop as a
+        single idempotent job.
+        """
+        if self.quarantine is None:
+            raise ValueError("this applier has no quarantine table")
+        q = self.quarantine.read()
+        change_cols = [c for c in q.columns if c not in ("reason", "batch_id")]
+        events = q.select(*change_cols)
+        now_valid, still_bad = self._split(events)
+        n_valid = now_valid.count()
+        out: dict[str, Any] = {"requeued": int(n_valid)}
+        if n_valid == 0:
+            # nothing newly valid: pure no-op, no commit (idempotence —
+            # calling this twice in a row leaves zero new snapshots)
+            out["still_quarantined"] = int(events.count())
+            return out
+        requeue_batch = self.target.snapshot().summary.get("batch_id", -1) + 1
+        stats = self.apply_chunk(
+            now_valid, lo=-1, hi=None, batch_id=requeue_batch
+        )
+        self.flush_lineage()
+        self.flush_metrics()
+        out.update(
+            batch_id=requeue_batch,
+            n_upserts=stats.n_upserts,
+            n_deletes=stats.n_deletes,
+            snapshot_id=stats.snapshot_id,
+        )
+        still = still_bad.withColumn(
+            "batch_id", F.lit(requeue_batch).cast("long")
+        )
+        self.quarantine.overwrite(
+            still, summary={"batch_id": requeue_batch, "requeue": True}
+        )
+        out["still_quarantined"] = int(still.count())
+        return out
+
     # ---------------------------------------------------------------- replay
     def replay(
         self,

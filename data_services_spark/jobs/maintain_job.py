@@ -39,6 +39,16 @@ def main(argv: list[str] | None = None) -> int:
                          "(uniqueness/nullability/domain/monotonicity); "
                          "failing checks land in the JSON report and flip "
                          "the exit code to 2")
+    ap.add_argument("--requeue-quarantine", action="store_true",
+                    help="re-validate quarantined events under the current "
+                         "rules and apply the newly-valid ones through the "
+                         "normal LWW path (offsets untouched, idempotent)")
+    ap.add_argument("--requeue-validator", default="default",
+                    choices=["default", "generic"],
+                    help="validation ladder for --requeue-quarantine: "
+                         "'default' = the table's tuned ladder, 'generic' = "
+                         "envelope + non-null merge keys only (the relaxed "
+                         "re-drive after a rule proves too strict)")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -49,6 +59,25 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("maintain_job", cpus=args.cpus)
 
     rc = 0
+    if args.requeue_quarantine:
+        from data_services_spark.cdc.apply import CdcApplier
+
+        kw = {}
+        if args.requeue_validator == "generic":
+            from data_services_spark.cdc.validate import generic_validation_reason
+            from data_services_spark.lake.table import LakeTable as _LT
+
+            keys = _LT(spark, f"{args.root}/transcripts").snapshot().props.get(
+                "merge_keys", ["conv_id", "turn_idx"]
+            )
+            kw["validator"] = lambda df: generic_validation_reason(df, list(keys))
+        applier = CdcApplier.load(spark, args.root, **kw)
+        t0 = time.monotonic()
+        res = applier.requeue_quarantine()
+        res.update(job="requeue_quarantine",
+                   wall_sec=round(time.monotonic() - t0, 3))
+        print(json.dumps(res))
+
     for name in [t for t in args.tables.split(",") if t]:
         path = f"{args.root}/{name}"
         if not LakeTable.exists(path):

@@ -39,6 +39,11 @@ SEMANTICS_CHANGED = {
     # range-partition + local rank + offsets — one extra (cached) pass buys
     # a plan with no single-partition exchange
     "snapshot_diff_changes",
+    # r02: single-reducer global row_number; r03: same distributed
+    # range-partition + broadcast-offset plan as snapshot_diff (one extra
+    # cached pass buys the last SinglePartition exchange out of the
+    # registry)
+    "chunked_batching",
 }
 
 

@@ -2922,6 +2922,50 @@ def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_accuracy_audit",
+    sql="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE AS hll_within_2pct,
+           TRUE AS p95_within_1pct
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Sketch operators with an ORACLED accuracy contract: HyperLogLog++ "
+        "distinct counts (approx_count_distinct, rsd=0.01) and streaming "
+        "quantile sketches (approx_percentile, accuracy 10k) are the only "
+        "way to profile 10^10-event streams in one pass with bounded "
+        "memory; this entry computes BOTH the sketch and the exact value "
+        "per group and emits within-tolerance booleans (HLL 2%, p95 1%) "
+        "that the DuckDB oracle pins to TRUE — a sketch-config regression "
+        "(rsd bumped, accuracy lowered) turns the driver red instead of "
+        "silently degrading the metrics tables. Both sketches are "
+        "map-side mergeable (partial aggregation), the property that "
+        "makes them scale.",
+)
+def sketch_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", 0.01).alias("_hll"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("_p95a"),
+        F.expr("percentile(value, 0.95)").alias("_p95e"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("_hll") - F.col("n_exact"))
+            <= 0.02 * F.col("n_exact")
+        ).alias("hll_within_2pct"),
+        (
+            F.abs(F.col("_p95a") - F.col("_p95e"))
+            <= 0.01 * F.abs(F.col("_p95e"))
+        ).alias("p95_within_1pct"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-verification window ordering.
 #
@@ -2971,6 +3015,7 @@ _DRIVER_PRIORITY = [
     "repetition_quality_documents",
     "redaction_scan_documents",
     "sequence_packing_plan",
+    "sketch_accuracy_audit",
 ]
 
 

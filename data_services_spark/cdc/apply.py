@@ -344,7 +344,14 @@ class CdcApplier:
         # affected target rows and run ONE LWW aggregation over both.
         # Two exchanges per chunk: hash(conv_id, turn_idx) for the
         # aggregate, then hash(bucket) to cluster the write.
-        current = self.target.read(buckets=affected).withColumn("op", F.lit("K"))
+        # Existing rows come back WITH their tombstones (keep_tombstones):
+        # a delete that already won must keep guarding its key against
+        # stale pre-delete events in this and every later chunk, so 'D'
+        # winners are written back to the base (filtered at read; GC'd
+        # only by the explicit expire_tombstones horizon).
+        current = self.target.read(
+            buckets=affected, keep_tombstones=True
+        ).withColumn("op", F.coalesce(F.col("op"), F.lit("K")))
         united = current.unionByName(winners, allowMissingColumns=True)
         resolved = lww_dedup(
             united,
@@ -353,11 +360,17 @@ class CdcApplier:
             method=self.dedup_method,
             salt_buckets=self.salt_buckets,
         )
-        merged = resolved.where(F.col("op") != "D").drop("op")
+        merged = resolved.withColumn(
+            "op",
+            F.when(F.col("op") == "D", F.lit("D")).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
 
-        # column order: existing schema first, additive columns appended
-        new_cols = [c for c in merged.columns if c not in existing]
-        merged = merged.select(*existing, *new_cols)
+        # column order: existing schema first, additive columns appended,
+        # the reserved tombstone marker last (kept in data files only)
+        new_cols = [c for c in merged.columns if c not in existing and c != "op"]
+        merged = merged.select(*existing, *new_cols, "op")
 
         # Quarantine is written BEFORE the offset-advancing commit (same
         # ordering as _apply_chunk_mor): a crash between the two re-applies
@@ -374,6 +387,11 @@ class CdcApplier:
             summary=summary,
             sort_cols=self.keys,
             expected_parent=snap.snapshot_id,
+            props_update=(
+                {"base_tombstones": True}
+                if stats.n_deletes or snap.props.get("base_tombstones")
+                else None
+            ),
         )
         stats.snapshot_id = new_snap.snapshot_id
         tp = _phase("merge_write", tp)

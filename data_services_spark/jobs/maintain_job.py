@@ -34,6 +34,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="only compact buckets with at least this many delta layers")
     ap.add_argument("--expire-keep", type=int, default=0,
                     help="expire all but the last N snapshots (0 = don't expire)")
+    ap.add_argument("--rebucket", type=int, default=0,
+                    help="re-hash the table into this many buckets "
+                         "(partition evolution; 0 = don't)")
+    ap.add_argument("--expire-tombstones", action="store_true",
+                    help="GC delete tombstones from base files — declares "
+                         "the out-of-order horizon closed (no event older "
+                         "than a delete can still arrive)")
+    ap.add_argument("--expire-tombstones-before", default=None,
+                    help="ISO timestamp: GC only tombstones older than "
+                         "this event-time horizon")
     ap.add_argument("--contracts", action="store_true",
                     help="run the transcripts contract battery post-commit "
                          "(uniqueness/nullability/domain/monotonicity); "
@@ -95,6 +105,22 @@ def main(argv: list[str] | None = None) -> int:
             out["compacted_buckets"] = len(targets)
             if targets:
                 table.compact(buckets=targets)
+        if args.rebucket > 0:
+            before = table.bucket_count
+            table.rebucket(args.rebucket)
+            out["rebucket"] = {"from": before, "to": args.rebucket}
+        if args.expire_tombstones or args.expire_tombstones_before:
+            horizon = None
+            if args.expire_tombstones_before:
+                import datetime as _dt
+
+                horizon = _dt.datetime.fromisoformat(args.expire_tombstones_before)
+            before_id = table.current_snapshot_id()
+            table.expire_tombstones(older_than=horizon)
+            out["expire_tombstones"] = {
+                "horizon": args.expire_tombstones_before or "all",
+                "committed": table.current_snapshot_id() != before_id,
+            }
         if args.expire_keep > 0:
             expired = table.expire_snapshots(keep_last=args.expire_keep)
             out["expired_snapshots"] = len(expired)

@@ -304,6 +304,7 @@ class LakeTable:
         self,
         snapshot_id: int | None = None,
         buckets: list[int] | None = None,
+        keep_tombstones: bool = False,
     ) -> DataFrame:
         """Read the table at a snapshot ("VERSION AS OF"), optionally pruned
         to a bucket subset (partition pruning — only those buckets' files are
@@ -312,10 +313,23 @@ class LakeTable:
         If the selected buckets carry merge-on-read delta layers, they are
         resolved here: last-writer-wins over the table's ``order_cols``
         across base ∪ delta rows, then delete tombstones (``op='D'``)
-        drop out. Buckets without deltas take the plain-scan fast path."""
+        drop out. Buckets without deltas take the plain-scan fast path.
+
+        **Tombstone durability**: base files written by compaction /
+        copy-on-write merges / rebucket RETAIN delete winners as rows with
+        ``op='D'`` (see ``expire_tombstones`` for the GC horizon), so a
+        stale out-of-order event can never resurrect a deleted key no
+        matter how long after the delete it arrives. Tables whose
+        snapshots never recorded a base tombstone (``props``
+        ``base_tombstones`` unset) keep the byte-identical plain-scan
+        plan. ``keep_tombstones=True`` (internal: maintenance rewrites)
+        returns the resolved rows INCLUDING 'D' winners, with the ``op``
+        column appended."""
         snap = self.snapshot(snapshot_id)
         sel = list(range(snap.bucket_count)) if buckets is None else buckets
         cols = [fld.name for fld in snap.schema.fields]
+        base_tomb = bool(snap.props.get("base_tombstones")) or keep_tombstones
+        live = F.col("op").isNull() | (F.col("op") != "D")
         # split the plan: buckets WITHOUT deltas take a plain scan; the LWW
         # merge aggregation runs only over delta-bearing buckets, so its
         # shuffle is proportional to the un-compacted slice of the table,
@@ -336,20 +350,34 @@ class LakeTable:
                 *[os.path.join(self.path, f) for f in files]
             )
 
-        clean = _scan(clean_files, snap.schema).select(cols) if clean_files else None
-        if not delta_files:
-            if clean is None:
-                return self.spark.createDataFrame([], snap.schema)
-            return clean
-
         delta_schema = T.StructType(
             snap.schema.fields + [T.StructField("op", T.StringType(), True)]
         )
+        out_cols = cols + ["op"] if keep_tombstones else cols
+        clean = None
+        if clean_files:
+            if base_tomb:
+                # base files may carry 'D' rows: scan with op (null-filled
+                # for files written before tombstone durability), filter
+                clean = _scan(clean_files, delta_schema)
+                if not keep_tombstones:
+                    clean = clean.where(live)
+            else:
+                # delete-free table: byte-identical plain scan
+                clean = _scan(clean_files, snap.schema)
+            clean = clean.select(out_cols)
+        if not delta_files:
+            if clean is None:
+                return self.spark.createDataFrame(
+                    [], delta_schema if keep_tombstones else snap.schema
+                )
+            return clean
+
         deltas = _scan(delta_files, delta_schema)
         if base_files:
-            base = _scan(base_files, snap.schema).withColumn(
-                "op", F.lit(None).cast("string")
-            )
+            # base rows carry their REAL op (tombstones compete in the LWW
+            # rank with their original (ts, lsn); null-filled = live)
+            base = _scan(base_files, delta_schema)
             union = base.unionByName(deltas)
         else:
             union = deltas
@@ -366,9 +394,8 @@ class LakeTable:
             .agg(F.max_by(payload, rank).alias("_w"))
             .select(*keys, "_w.*")
         )
-        merged = winners.where(
-            F.col("op").isNull() | (F.col("op") != "D")
-        ).select(cols)
+        merged = winners if keep_tombstones else winners.where(live)
+        merged = merged.select(out_cols)
         return merged if clean is None else clean.unionByName(merged)
 
     def changes_between(
@@ -429,6 +456,7 @@ class LakeTable:
         sort_cols: list[str] | None,
         files_per_bucket: int = 1,
         pre_partitioned: bool = False,
+        n_buckets: int | None = None,
     ) -> dict[str, list[str]]:
         """Write ``df`` (must contain a ``bucket`` int column) under a fresh
         commit dir, hive-partitioned by bucket; return bucket -> relative
@@ -449,7 +477,7 @@ class LakeTable:
         never misplaced rows (the hive bucket= dir is derived per row)."""
         commit_rel = os.path.join(_DATA_DIR, commit_token)
         commit_abs = os.path.join(self.path, commit_rel)
-        snap_buckets = self.bucket_count
+        snap_buckets = self.bucket_count if n_buckets is None else n_buckets
         if pre_partitioned:
             writer = df
         elif files_per_bucket > 1:
@@ -483,6 +511,8 @@ class LakeTable:
         summary: dict[str, Any],
         expected_parent: int | None = None,
         delta_files: dict[str, list[str]] | None = None,
+        bucket_count: int | None = None,
+        props_update: dict[str, Any] | None = None,
     ) -> Snapshot:
         parent = self.current_snapshot_id()
         if expected_parent is not None and parent != expected_parent:
@@ -497,12 +527,12 @@ class LakeTable:
             parent_id=parent,
             operation=operation,
             schema_json=schema.jsonValue(),
-            bucket_count=prev.bucket_count,
+            bucket_count=prev.bucket_count if bucket_count is None else bucket_count,
             bucket_keys=prev.bucket_keys,
             bucket_files=merged,
             summary=summary,
             delta_files={b: fs for b, fs in deltas.items() if fs},
-            props=prev.props,
+            props={**prev.props, **(props_update or {})},
         )
         self._write_snapshot(self._lake, snap)
         self._flip_current(self._lake, snap.snapshot_id)
@@ -524,6 +554,58 @@ class LakeTable:
         token = f"c{self.current_snapshot_id() + 1}-{uuid.uuid4().hex[:12]}"
         files = self._write_data_files(self._with_bucket(df), token, sort_cols)
         return self._commit("overwrite", files, {}, df.schema, summary or {}, delta_files={})
+
+    def rebucket(
+        self,
+        new_bucket_count: int,
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Partition evolution for hash-bucketed tables: re-hash the full
+        table into ``new_bucket_count`` buckets in ONE shuffle and commit
+        atomically (the same O_EXCL snapshot flip as every commit; old
+        files stay readable through time travel until snapshot expiry).
+
+        Bucket count bounds write/compaction parallelism and per-bucket
+        file size, so a table that grows 100x past its bootstrap sizing
+        wants more buckets than it was born with — the Iceberg analogue is
+        partition-spec evolution, which likewise applies to data written
+        after the change; here the one-shot rewrite migrates everything at
+        once so reads never straddle two layouts. MOR delta layers are
+        LWW-resolved into the rewrite (the new snapshot starts delta-free
+        and read-optimised), table props (merge keys, LWW order) and
+        summary offsets carry forward, so CDC appliers resume unchanged
+        across the resize. Concurrent writers are rejected by the
+        expected-parent check rather than silently dropped."""
+        if new_bucket_count < 1:
+            raise ValueError(f"bucket count must be >= 1, got {new_bucket_count}")
+        snap = self.snapshot()
+        # resolve MOR deltas at the old layout, KEEPING delete tombstones —
+        # a maintenance rewrite must never weaken delete memory (a stale
+        # pre-delete event would otherwise resurrect the key post-resize)
+        merged = self.read(keep_tombstones=True)
+        bucketed = merged.withColumn(
+            "bucket",
+            _bucket_expr(snap.bucket_keys, new_bucket_count, snap.bucket_fn),
+        )
+        token = f"c{snap.snapshot_id + 1}-rebucket-{uuid.uuid4().hex[:12]}"
+        sort_cols = list(snap.props.get("merge_keys", snap.bucket_keys))
+        files = self._write_data_files(
+            bucketed, token, sort_cols, n_buckets=new_bucket_count
+        )
+        out = dict(summary or {})
+        # carry stream progress forward: resize must not move the checkpoint
+        for k in ("offsets", "epoch", "batch_id"):
+            if k in snap.summary and k not in out:
+                out[k] = snap.summary[k]
+        may_have_tombs = bool(snap.props.get("base_tombstones")) or bool(
+            snap.delta_files
+        )
+        return self._commit(
+            "rebucket", files, {}, snap.schema, out,
+            expected_parent=snap.snapshot_id, delta_files={},
+            bucket_count=new_bucket_count,
+            props_update={"base_tombstones": True} if may_have_tombs else None,
+        )
 
     def append(
         self,
@@ -561,6 +643,9 @@ class LakeTable:
         fields = list(old.fields)
         have = {f.name for f in fields}
         for f in new.fields:
+            if f.name == "op" and f.name not in have:
+                continue  # reserved system column (tombstone marker), never
+                # promoted into the table schema
             if f.name not in have:
                 fields.append(f)
             else:
@@ -580,11 +665,13 @@ class LakeTable:
         sort_cols: list[str] | None = None,
         expected_parent: int | None = None,
         new_schema: T.StructType | None = None,
+        props_update: dict[str, Any] | None = None,
     ) -> Snapshot:
         """Copy-on-write replacement of a bucket subset: ``df`` holds the new
         full content of ``affected_buckets``; every other bucket is carried
         forward by reference (no data movement). This is the physical half of
-        MERGE INTO."""
+        MERGE INTO. ``df`` may carry the reserved ``op`` tombstone column
+        (kept in the data files, never promoted into the table schema)."""
         snap = self.snapshot()
         token = f"c{snap.snapshot_id + 1}-{uuid.uuid4().hex[:12]}"
         new_files = self._write_data_files(self._with_bucket(df), token, sort_cols)
@@ -604,6 +691,7 @@ class LakeTable:
             "merge", new_files, carried, schema, summary or {},
             expected_parent if expected_parent is not None else snap.snapshot_id,
             delta_files=deltas,
+            props_update=props_update,
         )
 
     def write_delta_files(
@@ -712,17 +800,27 @@ class LakeTable:
         return out
 
     def _rewrite_buckets_local(
-        self, snap: "Snapshot", targets: list[int], token: str
-    ) -> dict[str, list[str]]:
+        self,
+        snap: "Snapshot",
+        targets: list[int],
+        token: str,
+        keep_tombstones: bool = True,
+        expire_before: Any | None = None,
+    ) -> tuple[dict[str, list[str]], int]:
         """Zero-shuffle per-bucket rewrite: one Arrow map task per bucket
         reads that bucket's base+delta files, resolves last-writer-wins
-        over ``order_cols``, drops delete tombstones, and writes one
-        key-sorted snappy parquet file under the fresh commit dir. Returns
-        bucket -> relative file paths (same contract as
-        ``_write_data_files``). Runs as ``mapInPandas`` over a tiny
-        (bucket, files...) frame — vectorized Arrow end to end, the only
-        driver round-trip is the O(buckets) result list (same discipline
-        as the LSN offset collect in change_capture)."""
+        over ``order_cols``, and writes one key-sorted snappy parquet file
+        under the fresh commit dir. Delete winners are RETAINED as
+        ``op='D'`` rows by default (tombstone durability — a stale
+        out-of-order event must keep losing to the delete after
+        compaction); ``keep_tombstones=False`` drops them all and
+        ``expire_before`` (a timestamp) drops only tombstones whose
+        ``order_cols[0]`` is older — the explicit GC horizon. Returns
+        (bucket -> relative file paths, tombstones kept). Runs as
+        ``mapInPandas`` over a tiny (bucket, files...) frame — vectorized
+        Arrow end to end, the only driver round-trip is the O(buckets)
+        result list (same discipline as the LSN offset collect in
+        change_capture)."""
         keys = snap.props.get("merge_keys", snap.bucket_keys)
         order = snap.props.get("order_cols")
         if not order:
@@ -730,6 +828,7 @@ class LakeTable:
                 f"table {self.path} has delta layers but no order_cols prop"
             )
         cols = [f.name for f in snap.schema.fields]
+        ts_col = order[0]
         commit_rel = os.path.join(_DATA_DIR, token)
         commit_abs = os.path.join(self.path, commit_rel)
         root = self.path
@@ -791,14 +890,43 @@ class LakeTable:
                         (karr[1:] != karr[:-1]).any(axis=1), True
                     )
                     win = tbl.take(pa.array(sorted_kdf.index.to_numpy()[is_last]))
+                    n_tomb = 0
                     if "op" in win.column_names:
-                        keep = pc.fill_null(
-                            pc.not_equal(win.column("op"), pa.scalar("D")), True
+                        is_tomb = pc.fill_null(
+                            pc.equal(win.column("op"), pa.scalar("D")), False
                         )
-                        win = win.filter(keep)
-                    win = win.select(cols)
+                        if not keep_tombstones:
+                            win = win.filter(pc.invert(is_tomb))
+                        elif expire_before is not None:
+                            # naive horizon == session wall clock (UTC,
+                            # pinned in session.py); cast to the column's
+                            # exact timestamp type (files carry tz=UTC)
+                            _h = pa.scalar(
+                                expire_before, type=win.column(ts_col).type
+                            )
+                            stale = pc.and_(
+                                is_tomb,
+                                pc.fill_null(
+                                    pc.less(win.column(ts_col), _h), False
+                                ),
+                            )
+                            win = win.filter(pc.invert(stale))
+                        if win.num_rows and "op" in win.column_names:
+                            n_tomb = int(
+                                pc.sum(
+                                    pc.fill_null(
+                                        pc.equal(win.column("op"), pa.scalar("D")),
+                                        False,
+                                    ).cast(pa.int64())
+                                ).as_py()
+                                or 0
+                            )
+                    keep_cols = cols + (
+                        ["op"] if n_tomb and "op" in win.column_names else []
+                    )
+                    win = win.select(keep_cols)
                     if win.num_rows == 0:
-                        out.append((int(b), None, 0))
+                        out.append((int(b), None, 0, 0))
                         continue
                     bdir = os.path.join(commit_abs, f"bucket={int(b)}")
                     os.makedirs(bdir, exist_ok=True)
@@ -811,18 +939,21 @@ class LakeTable:
                             int(b),
                             os.path.join(commit_rel, f"bucket={int(b)}", fname),
                             win.num_rows,
+                            n_tomb,
                         )
                     )
-                yield pd.DataFrame(out, columns=["bucket", "file", "rows"])
+                yield pd.DataFrame(out, columns=["bucket", "file", "rows", "tombs"])
 
         result = tasks.mapInPandas(
-            rewrite, schema="bucket int, file string, rows long"
+            rewrite, schema="bucket int, file string, rows long, tombs long"
         ).collect()
         files: dict[str, list[str]] = {}
+        total_tombs = 0
         for r in result:
+            total_tombs += int(r["tombs"] or 0)
             if r["file"] is not None:
                 files.setdefault(str(r["bucket"]), []).append(r["file"])
-        return files
+        return files, total_tombs
 
     def compact(
         self,
@@ -859,7 +990,7 @@ class LakeTable:
             return snap
         token = f"c{snap.snapshot_id + 1}-{uuid.uuid4().hex[:12]}"
         if strategy == "local":
-            new_files = self._rewrite_buckets_local(snap, targets, token)
+            new_files, n_tombs = self._rewrite_buckets_local(snap, targets, token)
             target_set = set(targets)
             for b in targets:
                 new_files.setdefault(str(b), [])
@@ -875,8 +1006,13 @@ class LakeTable:
                 "compact", new_files, carried, snap.schema,
                 snap.summary if summary is None else summary,
                 snap.snapshot_id, delta_files=deltas,
+                props_update=(
+                    {"base_tombstones": True}
+                    if n_tombs or snap.props.get("base_tombstones")
+                    else None
+                ),
             )
-        merged = self.read(buckets=targets)
+        merged = self.read(buckets=targets, keep_tombstones=True)
         sort_cols = snap.props.get("merge_keys", snap.bucket_keys)
         # compaction of delta-bearing buckets reads through the LWW merge
         # aggregation, whose output is hash-partitioned on the merge keys —
@@ -906,6 +1042,48 @@ class LakeTable:
             "compact", new_files, carried, snap.schema,
             snap.summary if summary is None else summary,
             snap.snapshot_id, delta_files=deltas,
+            # the shuffle fallback cannot cheaply count kept tombstones; a
+            # delta-bearing bucket may contain 'D' winners, so flag
+            # conservatively (costs only the delete-free fast path)
+            props_update=(
+                {"base_tombstones": True}
+                if targets or snap.props.get("base_tombstones")
+                else None
+            ),
+        )
+
+    def expire_tombstones(
+        self,
+        older_than: Any | None = None,
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """GC delete tombstones from base files — the table's EXPLICIT
+        out-of-order horizon declaration (Cassandra's gc_grace, Iceberg's
+        delete-file expiry). A tombstone guards its key against stale
+        pre-delete events; dropping it declares that no event older than
+        the delete can still arrive. ``older_than`` (timestamp) keeps
+        tombstones newer than the horizon; ``None`` drops them all.
+        Rewrites every bucket (zero-shuffle, per-bucket local) and clears
+        the ``base_tombstones`` read-path flag when everything went."""
+        snap = self.snapshot()
+        targets = sorted(
+            {int(b) for b in snap.bucket_files} | {int(b) for b in snap.delta_files}
+        )
+        if not targets:
+            return snap
+        token = f"c{snap.snapshot_id + 1}-{uuid.uuid4().hex[:12]}"
+        new_files, n_kept = self._rewrite_buckets_local(
+            snap, targets, token,
+            keep_tombstones=older_than is not None,
+            expire_before=older_than,
+        )
+        for b in targets:
+            new_files.setdefault(str(b), [])
+        return self._commit(
+            "expire_tombstones", new_files, {}, snap.schema,
+            snap.summary if summary is None else summary,
+            snap.snapshot_id, delta_files={},
+            props_update={"base_tombstones": bool(n_kept)},
         )
 
     def commit_summary(

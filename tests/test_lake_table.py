@@ -231,3 +231,46 @@ def test_changes_between_replayable(spark, tmp_table_dir, tmp_path):
     dst = {(r["conv_id"], r["turn_idx"]): (r["role"], r["text"])
            for r in b.target.read().collect()}
     assert src == dst
+
+
+def test_rebucket_preserves_state_and_resolves_deltas(spark, tmp_table_dir):
+    t = LakeTable.create(
+        spark, tmp_table_dir, SCHEMA, ["k"], bucket_count=2,
+        props={"merge_keys": ["k"], "order_cols": ["i"]},
+    )
+    t.append(_df(spark, [("a", 1, "x"), ("b", 1, "y"), ("c", 1, "z")]),
+             summary={"offsets": {"last_lsn": 9}})
+    # MOR delta: update 'b', delete nothing
+    delta = _df(spark, [("b", 2, "y2")]).withColumn("op", F.lit("U"))
+    t.append_delta(delta, summary={"offsets": {"last_lsn": 11}})
+    before = sorted(tuple(r) for r in t.read().collect())
+    assert ("b", 2, "y2") in before
+
+    snap = t.rebucket(16)
+    assert snap.operation == "rebucket"
+    assert t.bucket_count == 16
+    assert snap.delta_files == {}  # starts read-optimised
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    # stream progress carried through the resize
+    assert snap.summary["offsets"]["last_lsn"] == 11
+    # time travel still reads the old layout
+    assert sorted(tuple(r) for r in t.read(snapshot_id=2).collect()) == before
+    # rows land in their recomputed buckets: pruned read of every bucket
+    # reassembles exactly the table
+    per_bucket = [t.read(buckets=[b]).count() for b in range(16)]
+    assert sum(per_bucket) == 3
+
+
+def test_rebucket_then_writes_use_new_layout(spark, tmp_table_dir):
+    t = LakeTable.create(
+        spark, tmp_table_dir, SCHEMA, ["k"], bucket_count=2,
+        props={"merge_keys": ["k"], "order_cols": ["i"]},
+    )
+    t.append(_df(spark, [(f"k{n}", 1, "v") for n in range(20)]))
+    t.rebucket(8)
+    t.append(_df(spark, [("new", 1, "w")]))
+    assert t.read().count() == 21
+    # the post-resize append wrote into one of the 8 new buckets
+    assert t.bucket_count == 8
+    got = {r["k"] for r in t.read().collect()}
+    assert "new" in got and "k7" in got

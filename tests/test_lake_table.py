@@ -274,3 +274,22 @@ def test_rebucket_then_writes_use_new_layout(spark, tmp_table_dir):
     assert t.bucket_count == 8
     got = {r["k"] for r in t.read().collect()}
     assert "new" in got and "k7" in got
+
+
+def test_changelog_empty_across_rebucket_and_tombstone_expiry(spark, tmp_table_dir):
+    """Maintenance commits (rebucket, tombstone GC) rewrite files but not
+    logical state: the changelog between the surrounding snapshots must be
+    empty — a downstream incremental consumer sees nothing to replay."""
+    t = LakeTable.create(
+        spark, tmp_table_dir, SCHEMA, ["k"], bucket_count=2,
+        props={"merge_keys": ["k"], "order_cols": ["i"]},
+    )
+    t.append(_df(spark, [("a", 1, "x"), ("b", 1, "y")]))
+    # delete 'b' via a tombstone delta, then compact (tombstone into base)
+    t.append_delta(_df(spark, [("b", 2, None)]).withColumn("op", F.lit("D")))
+    t.compact()
+    pre = t.current_snapshot_id()
+    t.rebucket(8)
+    t.expire_tombstones()
+    assert t.changes_between(pre).count() == 0
+    assert t.read().count() == 1  # 'b' stays deleted through both rewrites

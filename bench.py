@@ -167,7 +167,13 @@ skipped: correctness is verified on the compacted table.
 loss beyond the single-box ceiling (normalized >= 1.0 means the full
 pipeline scales at least as well as the simplest possible job on this
 hardware). On a real N -> 4N executor cluster, where the floor is ~1.0 by
-construction, this engine meets the >= 0.8 criterion.
+construction, this engine meets the >= 0.8 criterion. The floor control
+itself is the most noise-exposed number here (a trivial 2-stage job whose
+4-core leg finishes in tens of seconds; it measured 0.93 and 0.71 across
+two otherwise-identical round-3 runs on this shared host) — the criterion
+claim rests on the RAW engine ratio above, which has cleared the bar
+every round; the normalized figure is corroborating context, not the
+load-bearing number.
 
 Raw walls: engine {res_lo['wall_sec']}s / {res_hi['wall_sec']}s
 (reps lo={res_lo.get('rep_walls')}, hi={res_hi.get('rep_walls')});
@@ -333,7 +339,18 @@ hash(bucket)-clustered winner write adds O(changed keys) bytes
 offsets. No driver-side data movement, no per-row Python. Shuffle volume
 per event is constant; partition count
 ({max(64, CPUS * 2)}) and bucket count are config, so a 1000-executor
-cluster changes only the wave count of each stage.
+cluster changes only the wave count of each stage. Bucket count itself is
+no longer forever: `rebucket(n)` re-hashes the table in one shuffle
+(atomic flip, offsets carried) when a table outgrows its bootstrap
+sizing.
+
+Round-3 correctness hardening, measured off the hot path: delete
+tombstones are now durable across every rewrite (compaction, CoW merge,
+rebucket) so stale out-of-order events can never resurrect deleted keys;
+the MOR apply loop never reads the target table, so the apply walls above
+are unaffected, and delete-free tables keep the byte-identical plain-scan
+read plan (gated on the `base_tombstones` snapshot flag). GC of that
+memory is the explicit `expire_tombstones` horizon declaration.
 """)
 
     print(json.dumps({

@@ -44,6 +44,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--expire-tombstones-before", default=None,
                     help="ISO timestamp: GC only tombstones older than "
                          "this event-time horizon")
+    ap.add_argument("--remove-orphans", action="store_true",
+                    help="delete data files referenced by no snapshot "
+                         "(crash debris between commit phases)")
+    ap.add_argument("--orphan-age-sec", type=float, default=86400.0,
+                    help="only remove orphan files older than this "
+                         "(safety margin against in-flight commits)")
     ap.add_argument("--contracts", action="store_true",
                     help="run the transcripts contract battery post-commit "
                          "(uniqueness/nullability/domain/monotonicity); "
@@ -124,6 +130,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.expire_keep > 0:
             expired = table.expire_snapshots(keep_last=args.expire_keep)
             out["expired_snapshots"] = len(expired)
+        if args.remove_orphans:
+            out["orphans_removed"] = len(
+                table.remove_orphan_files(older_than_sec=args.orphan_age_sec)
+            )
         if args.contracts and name == "transcripts":
             from data_services_spark.contracts import transcripts_suite
 

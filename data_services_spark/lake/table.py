@@ -328,7 +328,18 @@ class LakeTable:
         snap = self.snapshot(snapshot_id)
         sel = list(range(snap.bucket_count)) if buckets is None else buckets
         cols = [fld.name for fld in snap.schema.fields]
-        base_tomb = bool(snap.props.get("base_tombstones")) or keep_tombstones
+        if "op" in cols:
+            # 'op' is a DATA column here (e.g. the quarantine table stores
+            # raw change events) — such tables cannot carry MOR layers or
+            # tombstones, so the reserved-column machinery must stay out
+            if keep_tombstones:
+                raise ValueError(
+                    f"table {self.path} owns 'op' as a data column; "
+                    "tombstone-aware reads do not apply"
+                )
+            base_tomb = False
+        else:
+            base_tomb = bool(snap.props.get("base_tombstones")) or keep_tombstones
         live = F.col("op").isNull() | (F.col("op") != "D")
         # split the plan: buckets WITHOUT deltas take a plain scan; the LWW
         # merge aggregation runs only over delta-bearing buckets, so its
@@ -581,8 +592,11 @@ class LakeTable:
         snap = self.snapshot()
         # resolve MOR deltas at the old layout, KEEPING delete tombstones —
         # a maintenance rewrite must never weaken delete memory (a stale
-        # pre-delete event would otherwise resurrect the key post-resize)
-        merged = self.read(keep_tombstones=True)
+        # pre-delete event would otherwise resurrect the key post-resize).
+        # Tables that own 'op' as a data column (quarantine) have neither
+        # deltas nor tombstones: plain read.
+        owns_op = any(f.name == "op" for f in snap.schema.fields)
+        merged = self.read(keep_tombstones=not owns_op)
         bucketed = merged.withColumn(
             "bucket",
             _bucket_expr(snap.bucket_keys, new_bucket_count, snap.bucket_fn),
@@ -1066,6 +1080,11 @@ class LakeTable:
         Rewrites every bucket (zero-shuffle, per-bucket local) and clears
         the ``base_tombstones`` read-path flag when everything went."""
         snap = self.snapshot()
+        if any(f.name == "op" for f in snap.schema.fields):
+            raise ValueError(
+                f"table {self.path} owns 'op' as a data column (raw change "
+                "events); tombstone GC does not apply"
+            )
         targets = sorted(
             {int(b) for b in snap.bucket_files} | {int(b) for b in snap.delta_files}
         )
@@ -1129,3 +1148,39 @@ class LakeTable:
                 ):
                     shutil.rmtree(cpath)
         return removed_ids
+
+    def remove_orphan_files(self, older_than_sec: float = 86400.0) -> list[str]:
+        """Delete data files referenced by NO snapshot at all — the debris
+        of a crash between phase 1 (``write_delta_files`` /
+        ``_write_data_files``) and phase 2 (the snapshot commit). Such
+        files are invisible to every read, so this is pure space reclaim.
+
+        ``older_than_sec`` is the safety margin (Iceberg's
+        ``remove_orphan_files`` has the same knob, default 3 days): an
+        IN-FLIGHT phase-1 dir from a concurrent writer is
+        indistinguishable from crash debris by path alone, so only files
+        comfortably older than any plausible in-flight commit are removed.
+        ``expire_snapshots`` cannot do this — it only sweeps files that
+        some expired snapshot referenced."""
+        import time as _time
+
+        live = {f for s in self.snapshots() for f in s.all_files()}
+        cutoff = _time.time() - older_than_sec
+        removed: list[str] = []
+        data_root = os.path.join(self.path, _DATA_DIR)
+        if not os.path.isdir(data_root):
+            return removed
+        for cdir in sorted(os.listdir(data_root)):
+            cpath = os.path.join(data_root, cdir)
+            if not os.path.isdir(cpath):
+                continue
+            for dirpath, _, files in os.walk(cpath):
+                for fn in files:
+                    p = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(p, self.path)
+                    if rel not in live and os.path.getmtime(p) <= cutoff:
+                        os.remove(p)
+                        removed.append(rel)
+            if not any(fs for _, _, fs in os.walk(cpath)):
+                shutil.rmtree(cpath)
+        return removed

@@ -137,3 +137,23 @@ def test_delete_free_table_never_flags_base_tombstones(spark, tmp_path):
     assert not a.target.snapshot().props.get("base_tombstones")
     plan = a.target.read()._jdf.queryExecution().executedPlan().toString()
     assert "isnull(op" not in plan and "op#" not in plan.split("ReadSchema")[0]
+
+
+def test_op_owning_tables_are_guarded(spark, tmp_path):
+    """The quarantine table stores RAW change events — 'op' is data there,
+    not the tombstone marker. Maintenance must treat it as a plain table:
+    rebucket works on logical rows, tombstone GC refuses outright."""
+    a = CdcApplier.bootstrap(spark, str(tmp_path / "q"), bucket_count=4)
+    bad = [(0, "I", 0, None, 0, "user", "orphan"),
+           (1, "D", 1, None, 1, None, None)]
+    ok = [(2, "I", 2, "c1", 0, "user", "hi")]
+    a.replay(_events(spark, bad + ok), chunk_size=10, source_hi=2)
+    q = a.quarantine
+    assert q.read().count() == 2
+    q.rebucket(8)  # plain logical rewrite, 'D' data rows untouched
+    assert q.read().count() == 2
+    assert {r["op"] for r in q.read().collect()} == {"I", "D"}
+    with pytest.raises(ValueError, match="owns 'op' as a data column"):
+        q.expire_tombstones()
+    with pytest.raises(ValueError, match="owns 'op' as a data column"):
+        q.read(keep_tombstones=True)

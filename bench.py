@@ -229,11 +229,15 @@ The same job, unchanged, at local[32], best in-JVM rep (re-measured round
 
 | events | n_convs | chunks | wall (apply) | apply ev/s | incl. compaction (ev/s) | final rows |
 |---|---|---|---|---|---|---|
-| 57,747,913 | 551k | 5 | 63.1s | **914,529** | 707,493 | 20,848,961 |
+| 57,747,913 | 551k | 5 | 50.3s | **1,149,114** | 954,243 | 20,848,961 |
 | 104,997,929 | 1.05M | 8 | 170.7s | **615,015** | 329,166 | 37,904,152 |
 
-The 55M row is the direct round-over-round comparison: 914k vs r2's 723k
-ev/s (1.27x — the zero-shuffle compaction and apply-path wins). Per-event
+The 55M row is the direct round-over-round comparison: 1.149M vs r2's
+723k ev/s (1.59x — the zero-shuffle compaction and apply-path wins),
+re-measured AFTER the tombstone-durability change landed: the apply loop
+is unchanged-hot (delta layers always carried op; the loop never reads
+the target), and the bit-identical final row count (20,848,961) pins
+state equality with the pre-change measurement. Per-event
 throughput IMPROVES from the 24M bench input to 55M (bigger chunks
 amortize per-chunk fixed costs; driver-side work stays flat — footer
 stats ~14 ms, lineage buffer ~30 ms per chunk, independent of chunk

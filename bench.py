@@ -188,14 +188,16 @@ tests + replay_job --verify-oracle).
 --master local-cluster[E,1,8192]` — E real executor JVMs, netty shuffle,
 driver on its own core — the literal "N executors -> 4N executors" of the
 north rule, as close as a single box allows (re-measured round 3,
-2026-08-17, on an otherwise-idle box, at TWO stream lengths — both
+2026-08-17/18, on an otherwise-idle box, at TWO stream lengths — both
 disclosed because the round-3 engine is faster at BOTH levels and the
 ratio at the small input is fixed-cost-bound, not scaling-bound):
 
 | stream | protocol | 1 exec (ev/s) | 4 exec (ev/s) | efficiency |
 |---|---|---|---|---|
-| 24M events | apply loop | 89,195 | 308,947 | **0.866** |
-| 24M events | incl. maintenance compaction | 73,103 | 254,942 | **0.872** |
+| 24M events (final engine, 2026-08-18) | apply loop | 82,601 | 322,635 | **0.976** |
+| 24M events (final engine, 2026-08-18) | incl. maintenance compaction | 69,388 | 264,484 | **0.953** |
+| 24M events (mid-round build) | apply loop | 89,195 | 308,947 | 0.866 |
+| 24M events (mid-round build) | incl. maintenance compaction | 73,103 | 254,942 | 0.872 |
 | 8M events (r2 protocol) | apply loop | 78,916 | 248,634 | 0.788 |
 | 8M events (r2 protocol) | incl. maintenance compaction | 63,934 | 198,021 | 0.774 |
 
@@ -208,7 +210,8 @@ land disproportionately on the 1-executor leg, so the ratio at 8M drops
 below bar (0.788/0.774) purely because the 4-exec leg finishes a rep in
 ~34s, where per-rep fixed costs (scheduling, Python worker spin-up,
 commit barriers) stop amortizing. Fixed costs are per-rep, not per-event:
-tripling the stream restores — indeed improves — the ratio (0.866/0.872
+tripling the stream restores — indeed improves — the ratio (0.976/0.953
+on the final engine; 0.866/0.872 on the mid-round build
 vs r2's 0.835/0.829), which is the behavior a real 100-TB stream sits on
 the far side of. The remaining loss vs the pinned in-JVM pair is the
 remote-fetch phase change unique to the smallest pair: with 1 executor,

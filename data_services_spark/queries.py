@@ -2966,6 +2966,76 @@ def sketch_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_pipeline_summary",
+    sql="""
+    WITH words AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents
+    ), freq AS (
+        SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+    ), quality AS (
+        SELECT doc_id, sum(c) AS n_words,
+               count(*) * 1.0 / sum(c) AS distinct_ratio
+        FROM freq GROUP BY doc_id
+    ), staged AS (
+        SELECT d.doc_id, d.lang,
+               (q.n_words BETWEEN 20 AND 10000
+                AND q.distinct_ratio >= 0.05) AS pass_quality,
+               substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <=
+                   CASE d.lang WHEN 'en' THEN '7' ELSE '3' END AS sampled
+        FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+    )
+    SELECT lang,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE pass_quality) AS n_pass_quality,
+           count(*) FILTER (WHERE pass_quality AND sampled) AS n_selected
+    FROM staged GROUP BY lang
+    """,
+    doc="The curation battery as ONE end-to-end flow: repetition-quality "
+        "gate (word count 20-10000, distinct ratio >= 5%) then md5-keyed "
+        "stratified sampling, reported per language — the funnel summary a "
+        "training-data pipeline publishes per snapshot. Stage composition "
+        "costs nothing extra in Spark: the quality aggregation's output "
+        "joins back to the slim (doc_id, lang) projection and both the "
+        "gate and the sampler are column predicates, so the whole funnel "
+        "is two shuffles (word freq, per-doc agg) + one broadcast-ready "
+        "join + one final partial-agged groupBy.",
+)
+def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        _doc_tokens(docs)
+        .select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    quality = freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        (F.count("*") * 1.0 / F.sum("c")).alias("distinct_ratio"),
+    )
+    pass_quality = (
+        F.col("n_words").between(20, 10000) & (F.col("distinct_ratio") >= 0.05)
+    )
+    sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= (
+        F.when(F.col("lang") == "en", F.lit("7")).otherwise(F.lit("3"))
+    )
+    staged = (
+        docs.select("doc_id", "lang")
+        .join(quality, "doc_id")
+        .select(
+            "lang",
+            pass_quality.alias("pass_quality"),
+            sampled.alias("sampled"),
+        )
+    )
+    return staged.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.count_if(F.col("pass_quality")).alias("n_pass_quality"),
+        F.count_if(F.col("pass_quality") & F.col("sampled")).alias("n_selected"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-verification window ordering.
 #
@@ -3016,6 +3086,7 @@ _DRIVER_PRIORITY = [
     "redaction_scan_documents",
     "sequence_packing_plan",
     "sketch_accuracy_audit",
+    "curation_pipeline_summary",
 ]
 
 

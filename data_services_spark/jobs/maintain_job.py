@@ -44,6 +44,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--expire-tombstones-before", default=None,
                     help="ISO timestamp: GC only tombstones older than "
                          "this event-time horizon")
+    ap.add_argument("--describe", action="store_true",
+                    help="print a metadata-only health summary per table "
+                         "(layout, MOR debt, tombstone state, checkpoint)")
     ap.add_argument("--remove-orphans", action="store_true",
                     help="delete data files referenced by no snapshot "
                          "(crash debris between commit phases)")
@@ -102,6 +105,8 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.monotonic()
         table = LakeTable(spark, path)
         out = {"table": name, "snapshot_before": table.current_snapshot_id()}
+        if args.describe:
+            out["describe"] = table.describe()
         if args.compact:
             snap = table.snapshot()
             targets = [

@@ -1149,6 +1149,32 @@ class LakeTable:
                     shutil.rmtree(cpath)
         return removed_ids
 
+    def describe(self) -> dict[str, Any]:
+        """Operational health summary from METADATA ONLY (no data scan, no
+        Spark job): layout, MOR debt, tombstone state, snapshot history —
+        what an operator checks before deciding to compact / rebucket /
+        expire. Safe to call on any table at any size."""
+        snap = self.snapshot()
+        snaps = self.snapshots()
+        delta_layers = {b: len(fs) for b, fs in snap.delta_files.items() if fs}
+        return {
+            "path": self.path,
+            "snapshot_id": snap.snapshot_id,
+            "operation": snap.operation,
+            "n_snapshots": len(snaps),
+            "bucket_count": snap.bucket_count,
+            "bucket_keys": snap.bucket_keys,
+            "n_base_files": sum(len(fs) for fs in snap.bucket_files.values()),
+            "n_delta_files": sum(delta_layers.values()),
+            "delta_bearing_buckets": len(delta_layers),
+            "max_delta_layers": max(delta_layers.values(), default=0),
+            "base_tombstones": bool(snap.props.get("base_tombstones")),
+            "merge_keys": list(snap.props.get("merge_keys", snap.bucket_keys)),
+            "order_cols": list(snap.props.get("order_cols", [])),
+            "committed_lsn": snap.summary.get("offsets", {}).get("last_lsn"),
+            "batch_id": snap.summary.get("batch_id"),
+        }
+
     def remove_orphan_files(self, older_than_sec: float = 86400.0) -> list[str]:
         """Delete data files referenced by NO snapshot at all — the debris
         of a crash between phase 1 (``write_delta_files`` /

@@ -293,3 +293,21 @@ def test_changelog_empty_across_rebucket_and_tombstone_expiry(spark, tmp_table_d
     t.expire_tombstones()
     assert t.changes_between(pre).count() == 0
     assert t.read().count() == 1  # 'b' stays deleted through both rewrites
+
+
+def test_describe_metadata_only_health(spark, tmp_table_dir):
+    t = LakeTable.create(
+        spark, tmp_table_dir, SCHEMA, ["k"], bucket_count=4,
+        props={"merge_keys": ["k"], "order_cols": ["i"]},
+    )
+    t.append(_df(spark, [("a", 1, "x"), ("b", 1, "y")]),
+             summary={"offsets": {"last_lsn": 7}, "batch_id": 3})
+    t.append_delta(_df(spark, [("b", 2, None)]).withColumn("op", F.lit("D")))
+    d = t.describe()
+    assert d["bucket_count"] == 4 and d["n_base_files"] >= 1
+    assert d["delta_bearing_buckets"] == 1 and d["max_delta_layers"] == 1
+    assert d["base_tombstones"] is False
+    assert d["committed_lsn"] is None or isinstance(d["committed_lsn"], int)
+    t.compact()
+    d2 = t.describe()
+    assert d2["n_delta_files"] == 0 and d2["base_tombstones"] is True

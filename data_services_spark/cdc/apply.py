@@ -710,7 +710,17 @@ class CdcApplier:
             # calling this twice in a row leaves zero new snapshots)
             out["still_quarantined"] = int(events.count())
             return out
-        requeue_batch = self.target.snapshot().summary.get("batch_id", -1) + 1
+        # next id clears BOTH tables' high-water batch ids: the quarantine
+        # side can run ahead of the target when a crash lands between the
+        # quarantine append and the target commit, and a colliding id would
+        # mis-attribute lineage/quarantine rows to two different batches
+        requeue_batch = (
+            max(
+                self.target.snapshot().summary.get("batch_id", -1),
+                self.quarantine.snapshot().summary.get("batch_id", -1),
+            )
+            + 1
+        )
         stats = self.apply_chunk(
             now_valid, lo=-1, hi=None, batch_id=requeue_batch
         )

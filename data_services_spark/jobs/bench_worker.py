@@ -19,11 +19,13 @@ import shutil
 import sys
 import time
 
+_T0 = time.monotonic()
+
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", required=True,
-                    choices=["generate", "cdc", "floor", "queries"])
+                    choices=["generate", "cdc", "floor", "queries", "skew"])
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--events", type=int, default=2_000_000)
     ap.add_argument("--chunks", type=int, default=2)
@@ -37,6 +39,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--workdir", help="scratch dir for the lake")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--queries", default="", help="comma-sep names; empty = all")
+    ap.add_argument("--deadline-sec", type=float, default=0.0,
+                    help="queries mode: stop launching new measurements this "
+                         "many seconds after worker start (0 = no deadline); "
+                         "skipped queries are listed, never silent")
     args = ap.parse_args(argv)
 
     from data_services_spark.session import get_spark
@@ -160,6 +166,65 @@ def main(argv: list[str] | None = None) -> int:
         }))
         return 0
 
+    if args.mode == "skew":
+        # Hot-key skew evidence (SURVEY §3: salting is the scaling story;
+        # reference precedent: one channel dominates a run,
+        # faimms.py:245-247). A pathological stream — 50% of ALL events on
+        # ONE conv_id — replayed twice: default map-side-combined max_by
+        # vs the explicit two-phase salted dedup, same input, same cores.
+        # Reports throughput for both plus a full-row fingerprint proving
+        # identical final state.
+        from pyspark.sql import functions as F
+
+        from data_services_spark.cdc.apply import CdcApplier
+        from data_services_spark.cdc.generator import generate_changes
+
+        changes = generate_changes(
+            spark, args.events, n_convs=max(1000, args.events // 100),
+            max_turns=50, n_hot=1, hot_pct=50,
+            partitions=max(32, args.cpus * 4),
+        )
+        changes.write.mode("overwrite").parquet(args.changes)
+        stream = spark.read.parquet(args.changes)
+        chunk_size = max(1, (args.events + args.chunks - 1) // args.chunks)
+        out: dict = {"events": args.events, "hot_pct": 50, "n_hot": 1}
+        fingerprints = {}
+        for method in ("max_by", "salted"):
+            best = None
+            for rep in range(max(1, args.repeats)):
+                workdir = f"{args.workdir}_{method}_r{rep}"
+                shutil.rmtree(workdir, ignore_errors=True)
+                applier = CdcApplier.bootstrap(
+                    spark, workdir, bucket_count=args.buckets,
+                    mode=args.apply_mode, dedup_method=method,
+                )
+                t0 = time.monotonic()
+                stats = applier.replay(
+                    stream, chunk_size=chunk_size,
+                    source_hi=args.events - 1, compact_at_end=False,
+                )
+                wall = time.monotonic() - t0
+                applier.target.compact()
+                total = sum(s.n_events for s in stats)
+                if best is None or wall < best:
+                    best = wall
+                    final = applier.target.read()
+                    # decimal(38,0) sum: 20M 64-bit hashes overflow a long
+                    row = final.agg(
+                        F.count("*").alias("n"),
+                        F.sum(
+                            F.xxhash64(*final.columns).cast("decimal(38,0)")
+                        ).alias("fp"),
+                    ).collect()[0]
+                    fingerprints[method] = (row["n"], int(row["fp"]))
+                shutil.rmtree(workdir, ignore_errors=True)
+            out[f"{method}_events_per_sec"] = round(total / best, 1)
+            out[f"{method}_wall_sec"] = round(best, 3)
+        out["final_state_equal"] = fingerprints["max_by"] == fingerprints["salted"]
+        out["table_rows"] = fingerprints["max_by"][0]
+        print(json.dumps(out))
+        return 0
+
     # queries mode
     from data_services_spark.queries import REGISTRY
 
@@ -198,21 +263,32 @@ def main(argv: list[str] | None = None) -> int:
     names = [n for n in args.queries.split(",") if n] or list(REGISTRY)
     timings = {}
     failed = []
+    skipped = []
 
-    def _run_once(name: str) -> float | None:
+    def _past_deadline() -> bool:
+        return args.deadline_sec > 0 and (time.monotonic() - _T0) > args.deadline_sec
+
+    def _run_once(name: str, record_fail: bool) -> float | None:
         t0 = time.monotonic()
         try:
             df = REGISTRY[name].fn(spark, args.sf_dir)
             # noop sink executes the full plan without driver collection
             df.write.format("noop").mode("overwrite").save()
         except Exception as e:  # one broken query must not void the run
-            failed.append(name)
+            # failures count only on the FIRST rep: a query with a valid
+            # rep-1 timing that hits a transient rep-2 error keeps its
+            # timing and is not contradictorily listed as failed too
+            if record_fail:
+                failed.append(name)
             print(f"QUERY FAILED {name}: {e}", file=sys.stderr)
             return None
         return round(time.monotonic() - t0, 3)
 
-    for name in names:
-        w = _run_once(name)
+    for i, name in enumerate(names):
+        if _past_deadline():
+            skipped = names[i:]
+            break
+        w = _run_once(name, record_fail=True)
         if w is not None:
             timings[name] = w
     # Second rep for everything but the heavyweights, report the min —
@@ -224,12 +300,18 @@ def main(argv: list[str] | None = None) -> int:
     # query; the 15 s threshold lets stall victims re-measure while the
     # genuinely heavy, rep-stable queries (ngram ~20 s, recall audit
     # ~50-75 s — walls match across rounds) run once to bound the battery.
+    # The deadline bounds this pass too: first-rep coverage of every query
+    # beats second-rep polish of a few.
     for name in [n for n, w in timings.items() if w < 15.0]:
-        w = _run_once(name)
+        if _past_deadline():
+            break
+        w = _run_once(name, record_fail=False)
         if w is not None and w < timings[name]:
             timings[name] = w
     if failed:
         timings["_failed"] = sorted(set(failed))  # visible, never silent
+    if skipped:
+        timings["_skipped"] = skipped  # deadline hit: listed, never silent
     print(json.dumps(timings))
     return 0
 

@@ -1085,6 +1085,15 @@ class LakeTable:
                 f"table {self.path} owns 'op' as a data column (raw change "
                 "events); tombstone GC does not apply"
             )
+        if not snap.props.get("order_cols"):
+            raise ValueError(
+                f"table {self.path} has no order_cols prop: it was never "
+                "written through the LWW merge path, so it holds no "
+                "tombstones to expire"
+            )
+        has_deltas = any(fs for fs in snap.delta_files.values())
+        if not snap.props.get("base_tombstones") and not has_deltas:
+            return snap  # nothing to expire: a rewrite would be a no-op
         targets = sorted(
             {int(b) for b in snap.bucket_files} | {int(b) for b in snap.delta_files}
         )
@@ -1207,6 +1216,11 @@ class LakeTable:
                     if rel not in live and os.path.getmtime(p) <= cutoff:
                         os.remove(p)
                         removed.append(rel)
-            if not any(fs for _, _, fs in os.walk(cpath)):
+            # same age margin for file-less commit dirs: a concurrent
+            # writer's just-created phase-1 dir is empty until its first
+            # parquet lands, so only dirs older than the cutoff are debris
+            if os.path.getmtime(cpath) <= cutoff and not any(
+                fs for _, _, fs in os.walk(cpath)
+            ):
                 shutil.rmtree(cpath)
         return removed

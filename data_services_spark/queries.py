@@ -101,6 +101,163 @@ def cdc_lww_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Engine-in-the-loop entries: the REAL apply machinery (CdcApplier +
+# LakeTable under a scratch dir) replays a change stream derived from the
+# driver's `events` table; the DuckDB oracle computes the expected final
+# table state with one LWW window — so requeue-then-apply, post-rebucket
+# reads, and two-microbatch restart are driver-verified end-to-end, not
+# just pytest-covered.
+# --------------------------------------------------------------------------
+
+def _engine_change_stream(spark: SparkSession, sf_dir: str,
+                          mangle_roles: bool = False) -> DataFrame:
+    """Deterministic transcript change stream derived from `events`; with
+    ``mangle_roles`` every 19th event carries an invalid role ('robot') so
+    the default validation ladder quarantines it (bad_role gate)."""
+    ev = load(spark, sf_dir, "events")
+    role = (
+        F.when(F.col("event_type") == "signup", "system")
+        .when(F.col("event_type") == "purchase", "assistant")
+        .otherwise("user")
+    )
+    if mangle_roles:
+        role = F.when(
+            F.pmod("event_id", F.lit(19)) == 0, F.lit("robot")
+        ).otherwise(role)
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.format_string("u%04d", "user_id").alias("conv_id"),
+        F.pmod("event_id", F.lit(37)).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.col("props").alias("text"),
+        F.col("event_type").alias("tool"),
+    )
+
+
+def _engine_lww_oracle(role_case: str) -> str:
+    return f"""
+    WITH changes AS (
+        SELECT event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ts,
+               printf('u%04d', user_id) AS conv_id,
+               CAST(event_id % 37 AS INTEGER) AS turn_idx,
+               {role_case} AS role,
+               props AS text,
+               event_type AS tool
+        FROM events
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts, lsn
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """
+
+
+_ROLE_CASE = ("CASE event_type WHEN 'signup' THEN 'system' "
+              "WHEN 'purchase' THEN 'assistant' ELSE 'user' END")
+
+
+def _materialize_and_clean(df: DataFrame, scratch: str) -> DataFrame:
+    """Pin the final table into Spark block storage so the scratch lake can
+    be deleted before the driver collects the (lazy) result."""
+    import shutil
+
+    out = df.localCheckpoint(eager=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
+@register(
+    "engine_requeue_final_state",
+    sql=_engine_lww_oracle(
+        f"CASE WHEN event_id % 19 = 0 THEN 'robot' ELSE {_ROLE_CASE} END"
+    ),
+    doc="Quarantine re-drive through the REAL engine: a stream where every "
+        "19th event carries an invalid role is replayed (those events land "
+        "in the quarantine table via the bad_role gate), then "
+        "requeue_quarantine re-drives them under a relaxed validator — the "
+        "reference's wip/errors redownload loop (faimms.py:15-18,199-207) "
+        "as one idempotent job. The oracle is a single LWW pass over ALL "
+        "events: requeued stragglers must converge to the same final state "
+        "because LWW resolves by (ts, lsn) rank, not arrival order.",
+)
+def engine_requeue_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+
+    scratch = tempfile.mkdtemp(prefix="q_requeue_")
+    stream = _engine_change_stream(spark, sf_dir, mangle_roles=True)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    applier = CdcApplier.bootstrap(spark, scratch, bucket_count=8)
+    applier.replay(stream, chunk_size=max(1, (hi + 1) // 2 + 1))
+    # relaxed validator (the "rule fixed upstream" moment): accept all
+    lax = CdcApplier.load(
+        spark, scratch, validator=lambda df: F.lit(None).cast("string")
+    )
+    lax.requeue_quarantine()
+    return _materialize_and_clean(lax.target.read(), scratch)
+
+
+@register(
+    "engine_rebucket_equality",
+    sql=_engine_lww_oracle(_ROLE_CASE),
+    doc="Partition evolution through the REAL engine: the stream replays "
+        "into a 4-bucket lake, rebucket(16) re-hashes the whole table in "
+        "one shuffle with an atomic snapshot flip, and the post-rebucket "
+        "read must still match the LWW oracle — including delete "
+        "tombstones surviving the rewrite (the round-3 resurrection bug's "
+        "regression gate, now driver-visible).",
+)
+def engine_rebucket_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+
+    scratch = tempfile.mkdtemp(prefix="q_rebucket_")
+    stream = _engine_change_stream(spark, sf_dir)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    applier = CdcApplier.bootstrap(spark, scratch, bucket_count=4)
+    applier.replay(stream, chunk_size=max(1, (hi + 1) // 2 + 1))
+    applier.target.rebucket(16)
+    return _materialize_and_clean(applier.target.read(), scratch)
+
+
+@register(
+    "engine_restart_final_state",
+    sql=_engine_lww_oracle(_ROLE_CASE),
+    doc="Two-microbatch apply with a hard restart between them: chunk 1 is "
+        "committed, the applier object is discarded, a NEW process-like "
+        "CdcApplier.load resumes from the offsets in the committed "
+        "snapshot summary and applies the remainder. The oracle applies "
+        "the same events as ONE batch — equality proves resume introduces "
+        "no duplicates or gaps (the north rule's exactly-once criterion, "
+        "previously pytest-only, now driver-visible).",
+)
+def engine_restart_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+
+    scratch = tempfile.mkdtemp(prefix="q_restart_")
+    stream = _engine_change_stream(spark, sf_dir)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    applier = CdcApplier.bootstrap(spark, scratch, bucket_count=8)
+    # microbatch 1: first half of the LSN range, then "crash"
+    applier.replay(stream, chunk_size=hi, source_hi=hi // 2)
+    del applier
+    # restart: fresh object, no in-memory state, resumes from the snapshot
+    resumed = CdcApplier.load(spark, scratch)
+    resumed.replay(stream, chunk_size=hi)
+    return _materialize_and_clean(resumed.target.read(), scratch)
+
+
+# --------------------------------------------------------------------------
 # Aggregations (SURVEY §2.4)
 # --------------------------------------------------------------------------
 
@@ -2192,15 +2349,70 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    sql=None,  # payload synthesis uses xxhash64 (no DuckDB analogue); pytest
+    sql="""
+    WITH p AS (
+        SELECT doc_id AS d, doc_id % 3 AS m,
+               8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h,
+               200 + doc_id % 57 AS ns,
+               256 + doc_id % 100 AS nv
+        FROM documents
+    ), payload AS (
+        SELECT d, m,
+            CASE m
+              WHEN 1 THEN list_concat(list_concat(list_concat(list_concat(
+                [82,73,70,70],
+                [(36 + 2*ns) % 256, ((36 + 2*ns) // 256) % 256, 0, 0]),
+                [87,65,86,69, 102,109,116,32, 16,0,0,0, 1,0, 1,0,
+                 64,31,0,0, 128,62,0,0, 2,0, 16,0, 100,97,116,97]),
+                [(2*ns) % 256, ((2*ns) // 256) % 256, 0, 0]),
+                flatten([[0, ((d*31 + i*7) % 256 + 128) % 256]
+                         for i in generate_series(0, ns - 1)])
+              )
+              WHEN 0 THEN list_concat(
+                [80, 54, 10, 48 + w // 10, 48 + w % 10, 32,
+                 48 + h // 10, 48 + h % 10, 10, 50, 53, 53, 10],
+                [(d*13 + j*5) % 256 for j in generate_series(0, 3*w*h - 1)]
+              )
+              ELSE [(d*17 + j*3) % 256 for j in generate_series(0, nv - 1)]
+            END AS bytes
+        FROM p
+    ), cutp AS (
+        SELECT d, m, bytes, len(bytes) AS n_bytes,
+               16 * (len(bytes) // 16) AS cut
+        FROM payload
+    ), samp AS (
+        SELECT d, m, n_bytes,
+            list_concat(
+                [bytes[k + 1] for k in generate_series(0, cut - 16, 16)],
+                list_slice(bytes, cut + 1, n_bytes)
+            ) AS sbytes
+        FROM cutp
+    )
+    SELECT d AS media_id,
+           CASE m WHEN 1 THEN 'audio' WHEN 0 THEN 'image'
+                  ELSE 'video' END AS kind,
+           CAST(n_bytes AS INT) AS n_bytes,
+           md5(array_to_string(
+               list_transform(sbytes, x -> printf('%02X', x)), '')) AS sample_md5,
+           CAST(len(sbytes) AS INT) AS sample_bytes
+    FROM samp
+    """,
     doc="Multimodal payload slicing ('frame sampling'): every Nth byte of "
-        "the opaque binary payload via hex regex — pure column expressions, "
-        "no UDF, demonstrating payload transforms that never leave the JVM.",
+        "the binary payload via hex regex — pure column expressions, no "
+        "UDF, demonstrating payload transforms that never leave the JVM. "
+        "Payloads are the deterministic integer-series WAV/PPM/raw media "
+        "(synthesize_decodable_media), so the DuckDB oracle rebuilds the "
+        "EXACT byte stream — RIFF/fmt/data and P6 headers included — with "
+        "list comprehensions over generate_series, replays the identical "
+        "sampling rule (first byte of each complete 16-byte group + the "
+        "tail verbatim, the regexp_replace semantics), and md5s the same "
+        "uppercase hex rendering: a one-byte framing bug on either side "
+        "turns the driver red.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import frame_sample, synthesize_media
+    from .operators.multimodal import frame_sample, synthesize_decodable_media
 
-    media = synthesize_media(load(spark, sf_dir, "documents"))
+    media = synthesize_decodable_media(load(spark, sf_dir, "documents"))
     out = frame_sample(media, every_n_bytes=16)
     # sortable projection for the driver's canonicalizer: digest the binary
     return out.select(
@@ -3058,45 +3270,60 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # never driver-verified as of round 2 (registry positions 51-70)
-    "column_cardinality_profile",
-    "sessionize_events",
-    "md5_turn_fingerprint",
-    "backpressure_gate",
-    "rolling_avg_value",
-    "tumbling_window_counts",
-    "explode_word_counts",
-    "pivot_event_matrix",
-    "value_percentiles",
-    "reconciliation_3way",
-    "rollup_revenue",
-    "exists_late_orders",
-    "revenue_share_scalar_subquery",
-    "min_cost_supplier",
-    "schema_mapping_apply",
-    "qc_flag_histogram",
-    "contract_report",
-    "filename_convention_parse",
-    "referential_integrity_report",
-    "multimodal_frame_sample",
-    # round-3 additions
+    # round-4 additions / entries whose oracle or code changed this round
+    "engine_requeue_final_state",
+    "engine_rebucket_equality",
+    "engine_restart_final_state",
+    "multimodal_frame_sample",   # left no_oracle in r3; now fully oracled
+    # code changed since their last driver check (r1/r2) — VERDICT_r03 §2
+    "snapshot_diff_changes",
+    "ann_lsh_topk",
+    "lsh_cosine_neardup",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "first_occurrence_dedup",
+    # rotated out of the r3 window (last driver evidence r1/r2)
+    "asof_join_purchase_click",
+    "interval_containment_join",
+    "predicate_pushdown_projection",
+    "distinct_projection",
+    "regex_extract_projection",
+    "set_except_intersect",
+    "scalar_datetime_kitchen",
+    "monotonicity_violations_value",
+    "dedup_exact_documents",
+    "simhash_buckets",
+    "cosine_topk_embeddings",
+    "lang_id_documents",
+    "token_count_documents",
+    "quality_score_documents",
+    "fingerprint_documents",
+    "multimodal_features",
+    "broadcast_vocab_join",
+    "sentinel_normalization",
+    "collect_list_catalog",
+    "avg_date_trunc_monthly",
+    "month_range_delta_plan",
+    "fuzzy_contains_join",
+    "union_distinct_sorted",
+    "greatest_least_interval",
+    "embedding_cosine_neardup",
+    "json_flatten_props",
+    "topk_per_group",
+    "dropna_subset",
+    "multiformat_timestamp_parse",
+    "bounds_quarantine_split",
+    # refresh slots: flagship + recall floors keep standing r4 evidence
+    "cdc_lww_apply",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "chunked_batching",
+    "sketch_accuracy_audit",
     "minhash_recall_vs_exact",
-    "xml_feed_parse",
-    "multimodal_decode_stats",
     "ann_recall_floor",
     "ivf_recall_floor",
     "lsh_neardup_recall_floor",
-    "simhash_exactdup_recall",
-    "image_resize_stats",
-    "dedup_cluster_canonical",
-    # round-3 curation battery
-    "decontaminate_ngram_overlap",
-    "stratified_sample_documents",
-    "repetition_quality_documents",
-    "redaction_scan_documents",
-    "sequence_packing_plan",
-    "sketch_accuracy_audit",
-    "curation_pipeline_summary",
 ]
 
 

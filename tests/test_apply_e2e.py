@@ -154,6 +154,32 @@ def test_salted_dedup_end_to_end(spark, changes_path, tmp_path):
     assert ok, msg
 
 
+def test_skewed_stream_salted_equals_maxby(spark, tmp_path):
+    """Pathological skew — 50% of ALL events on ONE conv_id (the bench skew
+    leg's stream shape, SURVEY §3 / reference faimms.py:245-247 one-channel-
+    dominates precedent): the default map-side-combined max_by dedup and the
+    explicit two-phase salted dedup must produce identical final state."""
+    stream = generate_changes(
+        spark, 6000, n_convs=150, max_turns=25, n_hot=1, hot_pct=50, seed=7
+    )
+    p = str(tmp_path / "skew.parquet")
+    stream.write.parquet(p)
+    changes = spark.read.parquet(p)
+    states = {}
+    for method in ("max_by", "salted"):
+        applier = CdcApplier.bootstrap(
+            spark, str(tmp_path / f"lake_{method}"), bucket_count=8,
+            dedup_method=method,
+        )
+        applier.replay(changes, chunk_size=2500)
+        states[method] = _final_state(applier)
+    ok, msg = table_state_matches(states["max_by"], states["salted"])
+    assert ok, msg
+    # and both match the oracle, not merely each other
+    ok, msg = table_state_matches(states["salted"], expected_final_state(p))
+    assert ok, msg
+
+
 def test_metrics_table_and_footer_lineage(spark, changes_path, tmp_path):
     """Batch-level metrics (from the apply job's Observation) and per-bucket
     lineage (from parquet footer stats incl. the _del null-count trick) must

@@ -139,12 +139,16 @@ class CdcApplier:
         spark: SparkSession,
         root: str,
         bucket_count: int = 16,
+        target_props: dict[str, Any] | None = None,
         **kwargs: Any,
     ) -> "CdcApplier":
-        """Create the target/lineage/quarantine tables under ``root``."""
+        """Create the target/lineage/quarantine tables under ``root``.
+        ``target_props`` merges extra table properties into the target
+        (e.g. ``stats_cols`` to enable manifest-level data skipping)."""
         target = LakeTable.create(
             spark, f"{root}/transcripts", TRANSCRIPTS_SCHEMA, KEY_COLS, bucket_count,
-            props={"merge_keys": KEY_COLS, "order_cols": ORDER_COLS},
+            props={"merge_keys": KEY_COLS, "order_cols": ORDER_COLS,
+                   **(target_props or {})},
         )
         lineage = LakeTable.create(
             spark, f"{root}/lineage", LINEAGE_SCHEMA, ["source_partition"], 4

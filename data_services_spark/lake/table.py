@@ -118,6 +118,11 @@ class Snapshot:
     delta_files: dict[str, list[str]] = field(default_factory=dict)
     # table properties, e.g. merge_keys / order_cols for MOR resolution
     props: dict[str, Any] = field(default_factory=dict)
+    # manifest-level data skipping (Iceberg column_sizes/lower+upper bounds
+    # analogue): file -> {col: [min, max]} for the table's `stats_cols`
+    # prop, harvested ONCE from parquet footers at commit time so pruned
+    # reads never open a footer (timestamps stored as ISO strings)
+    file_col_stats: dict[str, dict[str, list]] = field(default_factory=dict)
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -131,6 +136,7 @@ class Snapshot:
             "summary": self.summary,
             "delta_files": self.delta_files,
             "props": self.props,
+            "file_col_stats": self.file_col_stats,
         }
 
     @staticmethod
@@ -146,6 +152,7 @@ class Snapshot:
             summary=d.get("summary", {}),
             delta_files=d.get("delta_files", {}),
             props=d.get("props", {}),
+            file_col_stats=d.get("file_col_stats", {}),
         )
 
     @property
@@ -164,6 +171,41 @@ class Snapshot:
     def bucket_fn(self) -> str:
         # tables created before the murmur3 default carry no prop -> xxhash64
         return self.props.get("bucket_fn", "xxhash64")
+
+
+def _stat_json(v: Any) -> Any:
+    """Normalize a footer statistic (or a user-supplied bound) to its
+    JSON-stable form so manifest values and pruning bounds compare with
+    consistent types: timestamps -> ISO strings (lexicographic order ==
+    chronological order for a fixed format), bytes -> str, numbers as-is."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def _stats_exclude(snap: "Snapshot", rel: str, prune: dict[str, tuple]) -> bool:
+    """True iff the manifest stats PROVE the file cannot contain a row in
+    every predicate's range. Absent stats (file, column, or unusable
+    footer) keep the file — pruning is an optimization, never a filter."""
+    st = snap.file_col_stats.get(rel)
+    if not st:
+        return False
+    for c, (lo, hi) in prune.items():
+        bounds = st.get(c)
+        if bounds is None:
+            continue
+        fmn, fmx = bounds
+        if hi is not None and fmn > _stat_json(hi):
+            return True
+        if lo is not None and fmx < _stat_json(lo):
+            return True
+    return False
 
 
 def _bucket_expr(
@@ -305,6 +347,7 @@ class LakeTable:
         snapshot_id: int | None = None,
         buckets: list[int] | None = None,
         keep_tombstones: bool = False,
+        prune: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot ("VERSION AS OF"), optionally pruned
         to a bucket subset (partition pruning — only those buckets' files are
@@ -324,8 +367,25 @@ class LakeTable:
         ``base_tombstones`` unset) keep the byte-identical plain-scan
         plan. ``keep_tombstones=True`` (internal: maintenance rewrites)
         returns the resolved rows INCLUDING 'D' winners, with the ``op``
-        column appended."""
+        column appended.
+
+        ``prune`` = ``{col: (lo, hi)}`` range predicates (either bound may
+        be None) enables **manifest-level data skipping** (Iceberg
+        lower/upper-bound pruning): files whose committed ``stats_cols``
+        min/max cannot intersect the range are dropped from the scan
+        without opening a footer or scheduling a task. Correctness never
+        rests on the stats — the same predicate is applied as a row filter
+        over everything that survives, files without stats are kept, and
+        delta-bearing buckets are never file-pruned (a base row out of
+        range can still WIN last-writer-wins against an in-range stale
+        delta row, so those buckets resolve fully and filter after the
+        merge)."""
         snap = self.snapshot(snapshot_id)
+        if prune:
+            known = {fld.name for fld in snap.schema.fields}
+            bad = [c for c in prune if c not in known]
+            if bad:
+                raise ValueError(f"prune columns not in schema: {bad}")
         sel = list(range(snap.bucket_count)) if buckets is None else buckets
         cols = [fld.name for fld in snap.schema.fields]
         if "op" in cols:
@@ -350,6 +410,11 @@ class LakeTable:
         clean_files = [f for b in clean_sel for f in snap.bucket_files.get(str(b), [])]
         base_files = [f for b in delta_sel for f in snap.bucket_files.get(str(b), [])]
         delta_files = [f for b in delta_sel for f in snap.delta_files.get(str(b), [])]
+        if prune:
+            # file skipping ONLY on delta-free buckets: their rows are final
+            clean_files = [
+                f for f in clean_files if not _stats_exclude(snap, f, prune)
+            ]
 
         # Read with the snapshot's schema instead of mergeSchema: the
         # manifest is the source of truth, so no per-file footer merging on
@@ -365,6 +430,18 @@ class LakeTable:
             snap.schema.fields + [T.StructField("op", T.StringType(), True)]
         )
         out_cols = cols + ["op"] if keep_tombstones else cols
+
+        def _finish(df: DataFrame) -> DataFrame:
+            if not prune:
+                return df
+            cond = F.lit(True)
+            for c, (lo, hi) in prune.items():
+                if lo is not None:
+                    cond = cond & (F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    cond = cond & (F.col(c) <= F.lit(hi))
+            return df.where(cond)
+
         clean = None
         if clean_files:
             if base_tomb:
@@ -382,7 +459,7 @@ class LakeTable:
                 return self.spark.createDataFrame(
                     [], delta_schema if keep_tombstones else snap.schema
                 )
-            return clean
+            return _finish(clean)
 
         deltas = _scan(delta_files, delta_schema)
         if base_files:
@@ -407,7 +484,7 @@ class LakeTable:
         )
         merged = winners if keep_tombstones else winners.where(live)
         merged = merged.select(out_cols)
-        return merged if clean is None else clean.unionByName(merged)
+        return _finish(merged if clean is None else clean.unionByName(merged))
 
     def changes_between(
         self,
@@ -533,6 +610,7 @@ class LakeTable:
         merged = {b: fs for b, fs in merged.items() if fs}
         prev = self.snapshot(parent)
         deltas = prev.delta_files if delta_files is None else delta_files
+        next_props = {**prev.props, **(props_update or {})}
         snap = Snapshot(
             snapshot_id=parent + 1,
             parent_id=parent,
@@ -543,11 +621,73 @@ class LakeTable:
             bucket_files=merged,
             summary=summary,
             delta_files={b: fs for b, fs in deltas.items() if fs},
-            props={**prev.props, **(props_update or {})},
+            props=next_props,
+            file_col_stats=self._carry_col_stats(prev, merged, next_props),
         )
         self._write_snapshot(self._lake, snap)
         self._flip_current(self._lake, snap.snapshot_id)
         return snap
+
+    def _carry_col_stats(
+        self,
+        prev: Snapshot,
+        bucket_files: dict[str, list[str]],
+        props: dict[str, Any],
+    ) -> dict[str, dict[str, list]]:
+        """Manifest stats maintenance at the single commit choke point:
+        per-file column min/max for the table's ``stats_cols`` prop. Stats
+        for files already in the parent manifest carry forward verbatim
+        (footers are read ONCE per file, ever); stats for files that left
+        the manifest drop with it. Driver cost is O(new files) footer
+        reads per commit — the same budget as the lineage footer pass."""
+        stats_cols = props.get("stats_cols")
+        if not stats_cols:
+            return {}
+        # base files only: delta layers are never file-pruned (LWW winner
+        # interplay), so their footers are not worth a per-chunk pass
+        referenced = {f for fs in bucket_files.values() for f in fs}
+        out = {f: prev.file_col_stats[f] for f in referenced
+               if f in prev.file_col_stats}
+        new = [f for f in sorted(referenced) if f not in out]
+        if new:
+            out.update(self._harvest_col_stats(new, list(stats_cols)))
+        return out
+
+    def _harvest_col_stats(
+        self, rel_files: list[str], cols: list[str]
+    ) -> dict[str, dict[str, list]]:
+        """Exact per-file [min, max] for ``cols`` from parquet footers (all
+        row groups folded). A column missing from a file, or any row group
+        without usable min/max, yields no entry for that column — pruning
+        treats absent stats as 'may match' (conservative keep)."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict[str, list]] = {}
+        for rel in rel_files:
+            try:
+                md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+            except Exception:
+                continue
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            fstats: dict[str, list] = {}
+            for c in cols:
+                if c not in idx:
+                    continue
+                lo = hi = None
+                usable = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        usable = False
+                        break
+                    mn, mx = _stat_json(st.min), _stat_json(st.max)
+                    lo = mn if lo is None or mn < lo else lo
+                    hi = mx if hi is None or mx > hi else hi
+                if usable and lo is not None:
+                    fstats[c] = [lo, hi]
+            if fstats:
+                out[rel] = fstats
+        return out
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         snap = self.snapshot()

@@ -229,6 +229,64 @@ def engine_rebucket_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "engine_pruned_time_scan",
+    sql=f"""
+    WITH changes AS (
+        SELECT event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ts,
+               printf('u%04d', user_id) AS conv_id,
+               CAST(event_id % 37 AS INTEGER) AS turn_idx,
+               {_ROLE_CASE} AS role,
+               props AS text,
+               event_type AS tool
+        FROM events
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM changes
+    ), final AS (
+        SELECT conv_id, turn_idx, role, text, tool, ts, lsn
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT * FROM final
+    WHERE ts >= (SELECT min(ts) FROM final)
+      AND ts <= (SELECT min(ts) + INTERVAL 10 DAY FROM final)
+    """,
+    doc="Manifest-level data skipping through the REAL engine: the stream "
+        "replays into a lake with stats_cols=['ts','lsn'] (per-file min/max "
+        "recorded in the snapshot manifest at commit — Iceberg lower/upper "
+        "bound pruning), the table is compacted, and a 10-day time-range "
+        "read (a ~1/3 slice of the 30-day stream) prunes files by manifest "
+        "stats alone (no footer opens, no tasks for pruned files) while "
+        "the oracle filters the full LWW state in SQL. "
+        "tests/test_data_skipping.py pins that the pruned scan really "
+        "opens fewer files; this entry pins that it returns exactly the "
+        "right rows.",
+)
+def engine_pruned_time_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+
+    scratch = tempfile.mkdtemp(prefix="q_prune_")
+    stream = _engine_change_stream(spark, sf_dir)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    applier = CdcApplier.bootstrap(
+        spark, scratch, bucket_count=8,
+        target_props={"stats_cols": ["ts", "lsn"]},
+    )
+    applier.replay(stream, chunk_size=max(1, (hi + 1) // 2 + 1),
+                   compact_at_end=True)
+    lo_ts = applier.target.read().agg(F.min("ts")).collect()[0][0]
+    import datetime as _dt
+
+    window = (lo_ts, lo_ts + _dt.timedelta(days=10))
+    out = applier.target.read(prune={"ts": window})
+    return _materialize_and_clean(out, scratch)
+
+
+@register(
     "engine_restart_final_state",
     sql=_engine_lww_oracle(_ROLE_CASE),
     doc="Two-microbatch apply with a hard restart between them: chunk 1 is "
@@ -3274,6 +3332,7 @@ _DRIVER_PRIORITY = [
     "engine_requeue_final_state",
     "engine_rebucket_equality",
     "engine_restart_final_state",
+    "engine_pruned_time_scan",
     "multimodal_frame_sample",   # left no_oracle in r3; now fully oracled
     # code changed since their last driver check (r1/r2) — VERDICT_r03 §2
     "snapshot_diff_changes",
@@ -3323,7 +3382,6 @@ _DRIVER_PRIORITY = [
     "minhash_recall_vs_exact",
     "ann_recall_floor",
     "ivf_recall_floor",
-    "lsh_neardup_recall_floor",
 ]
 
 

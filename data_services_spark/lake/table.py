@@ -490,6 +490,7 @@ class LakeTable:
         self,
         from_snapshot_id: int,
         to_snapshot_id: int | None = None,
+        with_before: bool = False,
     ) -> DataFrame:
         """Changelog read: the I/U/D row changes between two snapshots
         (Delta CDF / Iceberg changelog analogue) — the lake as a CDC
@@ -503,7 +504,12 @@ class LakeTable:
         full-outer join on the merge keys over the pruned buckets) with
         LSNs assigned from the target's own committed high-watermark
         forward, making the changelog directly replayable into another
-        ``CdcApplier``."""
+        ``CdcApplier``.
+
+        ``with_before=True`` adds ``_prev_<col>`` before-image columns
+        (Delta CDF update_preimage analogue) — the previous value for U/D
+        rows, NULL for I — which is what an incremental aggregate
+        maintainer needs to retract old contributions."""
         from ..sources.change_capture import snapshot_diff
 
         to_id = self.current_snapshot_id() if to_snapshot_id is None else to_snapshot_id
@@ -517,6 +523,11 @@ class LakeTable:
         ]
         keys = s_to.props.get("merge_keys", s_to.bucket_keys)
         has_ts = any(f.name == "ts" for f in s_to.schema.fields)
+        payload = [
+            f.name for f in s_to.schema.fields
+            if f.name not in keys and f.name != "ts"
+        ]
+        before = payload if with_before else None
 
         def _with_ts(df: DataFrame) -> DataFrame:
             # tables without an event-time column still diff; the changelog
@@ -528,13 +539,15 @@ class LakeTable:
 
         if not changed:
             prev = _with_ts(self.spark.createDataFrame([], s_to.schema))
-            return snapshot_diff(prev, prev, keys=keys)
+            return snapshot_diff(prev, prev, keys=keys, before_cols=before)
         prev = _with_ts(self.read(from_snapshot_id, buckets=changed))
         cur = _with_ts(self.read(to_id, buckets=changed))
         base_lsn = int(
             s_to.summary.get("offsets", {}).get("last_lsn", -1)
         ) + 1
-        return snapshot_diff(prev, cur, keys=keys, lsn_start=base_lsn)
+        return snapshot_diff(
+            prev, cur, keys=keys, lsn_start=base_lsn, before_cols=before
+        )
 
     # ----------------------------------------------------------------- write
     def _write_data_files(

@@ -1,0 +1,205 @@
+"""Incremental materialized-aggregate maintenance from the lake changelog.
+
+The classic counting algorithm for distributive aggregates (Gupta &
+Mumick, "Maintenance of Materialized Views"): a COUNT/SUM-per-group view
+is kept current by applying only the source table's row CHANGES — each
+refresh costs O(changed rows + touched groups), never O(source table).
+This is the engine-side materialization of the reference's report-view
+cascade (``ANMN/data_report/views/report_db.anmn_deployments_view.sql:6-33``
+aggregates recomputed from scratch by PostgreSQL on every query; at
+10^10-row scale the recompute is the thing you cannot afford).
+
+Mechanics per refresh:
+
+1. ``source.changes_between(last_seen, now, with_before=True)`` — I/U/D
+   rows with ``_prev_*`` before-images, read with bucket-level metadata
+   pruning (O(touched buckets)).
+2. Additions (+post for I/U) union retractions (-pre for D/U) collapse to
+   one per-group delta aggregate — map-side combined, and group-moving
+   updates are handled exactly: the retraction lands on the OLD group,
+   the addition on the NEW one.
+3. The view's CURRENT rows for touched groups only (bucket-pruned read —
+   the view is hash-bucketed by its group columns) join the delta;
+   updated aggregates append as a merge-on-read delta layer ordered by
+   source snapshot id, groups whose count reaches zero become 'D'
+   tombstones. One atomic commit carries the new source watermark in its
+   summary, so refresh is exactly-once and crash-safe: a re-run recomputes
+   the same changelog window and converges to the same state.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lake.table import LakeTable, _bucket_expr
+
+
+class IncrementalAggView:
+    """COUNT(*) + SUM(col...) per group over a source LakeTable, maintained
+    incrementally from ``changes_between``. AVG falls out as sum/count at
+    read time (algebraic aggregates decompose into distributive parts)."""
+
+    def __init__(self, spark: SparkSession, table: LakeTable, source: LakeTable):
+        self.spark = spark
+        self.table = table
+        self.source = source
+        props = table.snapshot().props
+        self.group_cols: list[str] = list(props["view_group_cols"])
+        self.sum_cols: list[str] = list(props["view_sum_cols"])
+
+    # ------------------------------------------------------------- bootstrap
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        source: LakeTable,
+        group_cols: list[str],
+        sum_cols: list[str] | None = None,
+        bucket_count: int = 8,
+    ) -> "IncrementalAggView":
+        """Create an EMPTY view positioned at source snapshot 0 — the first
+        ``refresh()`` is simply an incremental step from the empty table,
+        so initial load and steady-state maintenance are one code path."""
+        sum_cols = list(sum_cols or [])
+        src_schema = {f.name: f.dataType for f in source.snapshot().schema.fields}
+        missing = [c for c in group_cols + sum_cols if c not in src_schema]
+        if missing:
+            raise ValueError(f"columns not in source schema: {missing}")
+        fields = [T.StructField(c, src_schema[c], True) for c in group_cols]
+        fields.append(T.StructField("n_rows", T.LongType(), True))
+        for c in sum_cols:
+            dt = src_schema[c]
+            agg_t = T.LongType() if isinstance(
+                dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ) else T.DoubleType()
+            fields.append(T.StructField(f"sum_{c}", agg_t, True))
+        fields.append(T.StructField("src_snap", T.LongType(), True))
+        table = LakeTable.create(
+            spark, path, T.StructType(fields), list(group_cols), bucket_count,
+            summary={"source_snapshot": 0},
+            props={
+                "merge_keys": list(group_cols),
+                "order_cols": ["src_snap"],
+                "view_group_cols": list(group_cols),
+                "view_sum_cols": sum_cols,
+                "view_source": source.path,
+            },
+        )
+        return cls(spark, table, source)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, source: LakeTable) -> "IncrementalAggView":
+        return cls(spark, LakeTable(spark, path), source)
+
+    # --------------------------------------------------------------- refresh
+    def last_source_snapshot(self) -> int:
+        return int(self.table.snapshot().summary.get("source_snapshot", 0))
+
+    def refresh(self) -> dict[str, Any]:
+        """Advance the view to the source's current snapshot. No-op (zero
+        commits) when the source has not moved — idempotent by watermark."""
+        frm = self.last_source_snapshot()
+        to = self.source.current_snapshot_id()
+        if to == frm:
+            return {"refreshed": False, "source_snapshot": frm}
+        ch = self.source.changes_between(frm, to, with_before=True)
+
+        g, s = self.group_cols, self.sum_cols
+        one = F.lit(1).cast("long")
+        # additions: the AFTER image of every row that exists afterwards
+        add = ch.where(F.col("op").isin("I", "U")).select(
+            *[F.col(c).alias(c) for c in g],
+            one.alias("d_rows"),
+            *[F.col(c).cast("double").alias(f"d_sum_{c}") for c in s],
+        )
+        # retractions: the BEFORE image of every row that existed before —
+        # group columns come from the before-image too, so an update that
+        # MOVES a row between groups retracts from the old group exactly
+        ret = ch.where(F.col("op").isin("D", "U")).select(
+            *[self._before(c).alias(c) for c in g],
+            (-one).alias("d_rows"),
+            *[(-self._before(c).cast("double")).alias(f"d_sum_{c}") for c in s],
+        )
+        delta = (
+            add.unionByName(ret)
+            .groupBy(*g)
+            .agg(
+                F.sum("d_rows").alias("d_rows"),
+                *[F.sum(f"d_sum_{c}").alias(f"d_sum_{c}") for c in s],
+            )
+            .where(
+                (F.col("d_rows") != 0)
+                | F.greatest(
+                    F.lit(False),
+                    *[F.col(f"d_sum_{c}") != 0 for c in s],
+                )
+                if s
+                else (F.col("d_rows") != 0)
+            )
+        )
+        delta = delta.localCheckpoint(eager=True)  # small: one row per touched group
+        if not delta.head(1):
+            # source moved but no net group change (e.g. ts-only updates)
+            snap = self.table.commit_summary({"source_snapshot": to})
+            return {"refreshed": True, "groups_touched": 0,
+                    "source_snapshot": to, "view_snapshot": snap.snapshot_id}
+
+        # current state for TOUCHED buckets only (the view is bucketed by
+        # its group columns, so the read prunes to O(touched buckets))
+        vsnap = self.table.snapshot()
+        tb = [
+            int(r["b"])
+            for r in delta.select(
+                _bucket_expr(vsnap.bucket_keys, vsnap.bucket_count,
+                             vsnap.bucket_fn).alias("b")
+            ).distinct().collect()
+        ]
+        cur = self.table.read(buckets=tb).select(
+            *g, "n_rows", *[f"sum_{c}" for c in s]
+        )
+        joined = delta.join(cur, on=g, how="left")
+        upd_cols = [
+            (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_rows")).alias("n_rows")
+        ]
+        for c in s:
+            field = next(f for f in vsnap.schema.fields if f.name == f"sum_{c}")
+            upd_cols.append(
+                (F.coalesce(F.col(f"sum_{c}").cast("double"), F.lit(0.0))
+                 + F.coalesce(F.col(f"d_sum_{c}"), F.lit(0.0)))
+                .cast(field.dataType).alias(f"sum_{c}")
+            )
+        updated = joined.select(
+            *g,
+            *upd_cols,
+            F.lit(to).cast("long").alias("src_snap"),
+            F.when(
+                F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_rows") <= 0, "D"
+            ).otherwise("U").alias("op"),
+        )
+        self.table.append_delta(
+            updated, summary={"source_snapshot": to},
+            sort_cols=list(g),
+        )
+        n = updated.count()
+        return {"refreshed": True, "groups_touched": int(n),
+                "source_snapshot": to,
+                "view_snapshot": self.table.current_snapshot_id()}
+
+    def _before(self, col: str) -> F.Column:
+        """Before-image of ``col``: merge keys cannot change, so they have
+        no ``_prev_`` column — the key itself IS the before value."""
+        return F.col(f"_prev_{col}") if col not in self._source_keys() else F.col(col)
+
+    def _source_keys(self) -> list[str]:
+        snap = self.source.snapshot()
+        return list(snap.props.get("merge_keys", snap.bucket_keys))
+
+    # ------------------------------------------------------------------ read
+    def read(self) -> DataFrame:
+        """Current view state (LWW-resolved, tombstoned groups gone)."""
+        return self.table.read().drop("src_snap")

@@ -287,6 +287,65 @@ def engine_pruned_time_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "engine_incremental_agg_view",
+    sql=f"""
+    WITH changes AS (
+        SELECT event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ts,
+               printf('u%04d', user_id) AS conv_id,
+               CAST(event_id % 37 AS INTEGER) AS turn_idx,
+               {_ROLE_CASE} AS role,
+               props AS text,
+               event_type AS tool
+        FROM events
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM changes
+    ), final AS (
+        SELECT conv_id, turn_idx, role, text, tool, ts, lsn
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT role, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(turn_idx) AS BIGINT) AS sum_turn_idx
+    FROM final GROUP BY role
+    """,
+    doc="Incremental materialized-aggregate maintenance (Gupta & Mumick "
+        "counting algorithm) through the REAL engine: the stream applies "
+        "in two chunks, and after EACH chunk the per-role COUNT/SUM view "
+        "refreshes from changes_between with _prev_* before-images — each "
+        "refresh costs O(changed rows + touched groups), never O(table). "
+        "The oracle recomputes the aggregates from scratch over the final "
+        "LWW state: equality proves two incremental refreshes (including "
+        "retractions for updates and deletes) converge to the full "
+        "recompute. The reference's report views "
+        "(report_db.anmn_deployments_view.sql:6-33) recompute on every "
+        "query; this is that cascade made affordable at 10^10 rows.",
+)
+def engine_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+    from .operators.incremental_view import IncrementalAggView
+
+    scratch = tempfile.mkdtemp(prefix="q_iview_")
+    stream = _engine_change_stream(spark, sf_dir)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    applier = CdcApplier.bootstrap(spark, scratch, bucket_count=8)
+    view = IncrementalAggView.create(
+        spark, f"{scratch}/view_role", applier.target, ["role"], ["turn_idx"]
+    )
+    # chunk 1 -> refresh -> chunk 2 -> refresh: the view never sees the
+    # source more than one changelog window at a time
+    applier.replay(stream, chunk_size=hi, source_hi=hi // 2)
+    view.refresh()
+    applier.replay(stream, chunk_size=hi)
+    view.refresh()
+    return _materialize_and_clean(view.read(), scratch)
+
+
+@register(
     "engine_restart_final_state",
     sql=_engine_lww_oracle(_ROLE_CASE),
     doc="Two-microbatch apply with a hard restart between them: chunk 1 is "
@@ -3333,6 +3392,7 @@ _DRIVER_PRIORITY = [
     "engine_rebucket_equality",
     "engine_restart_final_state",
     "engine_pruned_time_scan",
+    "engine_incremental_agg_view",
     "multimodal_frame_sample",   # left no_oracle in r3; now fully oracled
     # code changed since their last driver check (r1/r2) — VERDICT_r03 §2
     "snapshot_diff_changes",
@@ -3381,7 +3441,6 @@ _DRIVER_PRIORITY = [
     "sketch_accuracy_audit",
     "minhash_recall_vs_exact",
     "ann_recall_floor",
-    "ivf_recall_floor",
 ]
 
 

@@ -30,6 +30,7 @@ def snapshot_diff(
     compare_cols: list[str] | None = None,
     lsn_start: int = 0,
     ts_col: str = "ts",
+    before_cols: list[str] | None = None,
 ) -> DataFrame:
     """Diff two snapshots of a keyed table into I/U/D change events.
 
@@ -77,6 +78,11 @@ def snapshot_diff(
     ] + [
         F.coalesce(F.col(f"c.{ts_col}"), F.col(f"p.{ts_col}")).alias(ts_col),
         op.alias("op"),
+    ] + [
+        # before-images (Delta CDF update_preimage analogue): the previous
+        # side's value for U/D rows, NULL for I — what an incremental
+        # aggregate maintainer needs to RETRACT the old contribution
+        F.col(f"p.{col}").alias(f"_prev_{col}") for col in (before_cols or [])
     ]
     events = joined.select(*out_cols).where(F.col("op").isNotNull())
     return _assign_dense_lsn(events, keys, lsn_start)

@@ -35,6 +35,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="max in-JVM replay reps (stops early once converged)")
     ap.add_argument("--no-compact-end", action="store_true",
                     help="skip the final compaction (leave delta layers)")
+    ap.add_argument("--step", action="store_true",
+                    help="cdc mode: one rep per stdin line (interleaved-pair "
+                         "protocol; parent alternates reps across levels)")
     ap.add_argument("--changes", help="change-stream parquet path")
     ap.add_argument("--workdir", help="scratch dir for the lake")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -83,7 +86,24 @@ def main(argv: list[str] | None = None) -> int:
         chunk_size = max(1, (args.events + args.chunks - 1) // args.chunks)
         best = None
         reps = []
-        for rep in range(args.repeats):
+        compact_walls = []
+
+        def _finalize() -> None:
+            # e2e pairs the best apply wall with the CONVERGED (min)
+            # compaction wall rather than whichever single compaction ran
+            # on the best rep: both phases converge downward with JIT, and
+            # a one-sample compaction measured 8-18s across otherwise
+            # identical reps — noisy enough to swing the e2e ratio alone
+            if compact_walls and best is not None:
+                cw = min(compact_walls)
+                best["compact_wall_sec"] = round(cw, 3)
+                best["end_to_end_events_per_sec"] = round(
+                    best["events"] / (best["wall_sec"] + cw), 1
+                )
+            best["rep_walls"] = reps
+
+        def _one_rep(rep: int) -> dict:
+            nonlocal best
             workdir = f"{args.workdir}_r{rep}"
             shutil.rmtree(workdir, ignore_errors=True)
             applier = CdcApplier.bootstrap(
@@ -102,13 +122,17 @@ def main(argv: list[str] | None = None) -> int:
                 compact_at_end=False,
             )
             wall = time.monotonic() - t0
-            tc = time.monotonic()
-            if not args.no_compact_end:
-                applier.target.compact()
-            compact_wall = time.monotonic() - tc
             total = sum(s.n_events for s in stats)
             reps.append(round(wall, 3))
-            if best is None or wall < best["wall_sec"]:
+            improved = best is None or wall < best["wall_sec"]
+            # e2e needs the SAME rep's compact wall, and only the best rep
+            # is ever reported — non-improving reps skip the compaction
+            # (~25s/rep at 1 core, pure bench time, fresh lake next rep)
+            if improved and not args.no_compact_end:
+                tc = time.monotonic()
+                applier.target.compact()
+                compact_wall = time.monotonic() - tc
+                compact_walls.append(compact_wall)
                 best = {
                     "cpus": args.cpus,
                     "events": total,
@@ -119,7 +143,39 @@ def main(argv: list[str] | None = None) -> int:
                     "chunks": len(stats),
                     "table_rows": applier.target.read().count(),
                 }
+            elif improved:
+                best = {
+                    "cpus": args.cpus,
+                    "events": total,
+                    "wall_sec": round(wall, 3),
+                    "events_per_sec": round(total / wall, 1),
+                    "compact_wall_sec": 0.0,
+                    "end_to_end_events_per_sec": round(total / wall, 1),
+                    "chunks": len(stats),
+                    "table_rows": applier.target.read().count(),
+                }
             shutil.rmtree(workdir, ignore_errors=True)
+            return {"rep": rep, "wall_sec": reps[-1], "improved": improved}
+
+        if args.step:
+            # Interleaved-pair protocol: the parent alternates reps between
+            # the lo and hi workers (both JVMs long-lived and JIT-warm), so
+            # both levels sample the SAME host-noise windows instead of
+            # lo owning minutes 1-13 and hi minutes 13-17. One rep per
+            # stdin line; 'quit' prints the converged best and exits.
+            print(json.dumps({"ready": True, "cpus": args.cpus}), flush=True)
+            rep = 0
+            for line in sys.stdin:
+                if line.strip() == "quit":
+                    break
+                print(json.dumps(_one_rep(rep)), flush=True)
+                rep += 1
+            _finalize()
+            print(json.dumps({"final": best}), flush=True)
+            return 0
+
+        for rep in range(args.repeats):
+            _one_rep(rep)
             # converged: the TWO most recent reps both failed to improve >10%
             # on the best before them (two in a row rides out host-noise
             # spikes; the first reps are JIT-dominated and never count)
@@ -127,7 +183,7 @@ def main(argv: list[str] | None = None) -> int:
                 prior_best = min(reps[:-2])
                 if min(reps[-2:]) >= prior_best * 0.95:
                     break
-        best["rep_walls"] = reps
+        _finalize()
         print(json.dumps(best))
         return 0
 

@@ -205,6 +205,60 @@ def engine_requeue_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "engine_schema_evolution_state",
+    sql=f"""
+    WITH changes AS (
+        SELECT event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ts,
+               printf('u%04d', user_id) AS conv_id,
+               CAST(event_id % 37 AS INTEGER) AS turn_idx,
+               {_ROLE_CASE} AS role,
+               props AS text,
+               event_type AS tool
+        FROM events
+    ), split AS (
+        SELECT CAST(max(lsn) // 2 AS BIGINT) AS s FROM changes
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts, lsn,
+           CASE WHEN lsn > (SELECT s FROM split)
+                THEN printf('fb-%d', lsn % 7) END AS feedback
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="Additive schema evolution through the REAL engine (a north-rule "
+        "pillar, previously pytest-only): chunk 1 replays WITHOUT the "
+        "'feedback' column, chunk 2 arrives WITH it — the engine widens "
+        "the table in place (mergeSchema-analogue additive write, "
+        "non-additive changes rejected elsewhere). The oracle computes "
+        "the LWW final state where feedback exists exactly on keys whose "
+        "WINNING event arrived post-evolution — pre-evolution winners "
+        "must read back NULL, which catches both a dropped column and a "
+        "backfill that invents data. Reference parity: new metadata "
+        "fields appearing mid-harvest (harvest_mapping.py column adds).",
+)
+def engine_schema_evolution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+
+    scratch = tempfile.mkdtemp(prefix="q_evolve_")
+    stream = _engine_change_stream(spark, sf_dir)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    split = hi // 2
+    evolved = stream.withColumn(
+        "feedback", F.format_string("fb-%d", F.pmod("lsn", F.lit(7)))
+    )
+    applier = CdcApplier.bootstrap(spark, scratch, bucket_count=8)
+    applier.replay(stream, chunk_size=hi, source_hi=split)
+    applier.replay(evolved, chunk_size=hi)
+    return _materialize_and_clean(applier.target.read(), scratch)
+
+
+@register(
     "engine_rebucket_equality",
     sql=_engine_lww_oracle(_ROLE_CASE),
     doc="Partition evolution through the REAL engine: the stream replays "
@@ -3390,6 +3444,7 @@ _DRIVER_PRIORITY = [
     # round-4 additions / entries whose oracle or code changed this round
     "engine_requeue_final_state",
     "engine_rebucket_equality",
+    "engine_schema_evolution_state",
     "engine_restart_final_state",
     "engine_pruned_time_scan",
     "engine_incremental_agg_view",

@@ -44,6 +44,11 @@ SEMANTICS_CHANGED = {
     # cached pass buys the last SinglePartition exchange out of the
     # registry)
     "chunked_batching",
+    # r03: rows-only byte-slice preview (no oracle possible); r04: recomputes
+    # per-frame byte statistics that a DuckDB generate_series oracle can
+    # verify — the extra wall buys the entry out of the no_oracle column
+    # (VERDICT_r03 "What's missing" #2)
+    "multimodal_frame_sample",
 }
 
 

@@ -168,16 +168,27 @@ def _cdc_pair(changes: str, scratch: str) -> tuple[dict, dict, list[float]]:
     ((lo_wall/hi_wall)/(HI/LO) for reps measured back-to-back) — a
     noise-robust corroboration of the best-vs-best headline ratio."""
     subprocess.run(["sync"], check=False)  # drain dirty pages from prior run
-    lo = _StepWorker(LO_CORES, changes, scratch)
-    hi = _StepWorker(HI_CORES, changes, scratch)
-    paired = []
-    for _ in range(REPEATS):
-        rl = lo.step()
-        rh = hi.step()
-        paired.append(
-            round((rl["wall_sec"] / rh["wall_sec"]) / (HI_CORES / LO_CORES), 3)
-        )
-    return lo.finish(), hi.finish(), paired
+    workers = []
+    try:
+        lo = _StepWorker(LO_CORES, changes, scratch)
+        workers.append(lo)
+        hi = _StepWorker(HI_CORES, changes, scratch)
+        workers.append(hi)
+        paired = []
+        for _ in range(REPEATS):
+            rl = lo.step()
+            rh = hi.step()
+            paired.append(
+                round((rl["wall_sec"] / rh["wall_sec"]) / (HI_CORES / LO_CORES), 3)
+            )
+        return lo.finish(), hi.finish(), paired
+    except Exception:
+        for w in workers:  # no orphan JVMs behind the sequential fallback
+            try:
+                w.proc.kill()
+            except Exception:
+                pass
+        raise
 
 
 def _floor(cores: int, changes: str) -> dict:
@@ -222,16 +233,35 @@ def main() -> int:
              "--events", str(EVENTS), "--changes", changes])
     _partial("generate", events=EVENTS)
 
-    res_lo, res_hi, paired = _cdc_pair(changes, scratch)
+    try:
+        res_lo, res_hi, paired = _cdc_pair(changes, scratch)
+    except Exception as e:  # a dead step worker must never void the artifact
+        _partial("cdc_pair_fallback", error=str(e)[:200])
+        res_lo = _worker(
+            ["--mode", "cdc", "--cpus", str(LO_CORES), "--events", str(EVENTS),
+             "--chunks", "2", "--changes", changes, "--repeats", str(REPEATS),
+             "--workdir", os.path.join(scratch, "lakeseq1")],
+            pin_cores=LO_CORES,
+        )
+        res_hi = _worker(
+            ["--mode", "cdc", "--cpus", str(HI_CORES), "--events", str(EVENTS),
+             "--chunks", "2", "--changes", changes, "--repeats", str(REPEATS),
+             "--workdir", os.path.join(scratch, "lakeseq4")],
+            pin_cores=HI_CORES,
+        )
+        paired = []
     eff = (res_hi["events_per_sec"] / res_lo["events_per_sec"]) / (HI_CORES / LO_CORES)
     e2e_eff = (res_hi["end_to_end_events_per_sec"] / res_lo["end_to_end_events_per_sec"]) / (HI_CORES / LO_CORES)
     # median of the post-JIT interleaved pairs: robust to a single noisy rep
     post_jit = sorted(paired[1:]) or sorted(paired)
-    mid = len(post_jit) // 2
-    paired_med = round(
-        post_jit[mid] if len(post_jit) % 2
-        else (post_jit[mid - 1] + post_jit[mid]) / 2, 3
-    )
+    if post_jit:
+        mid = len(post_jit) // 2
+        paired_med = round(
+            post_jit[mid] if len(post_jit) % 2
+            else (post_jit[mid - 1] + post_jit[mid]) / 2, 3
+        )
+    else:  # sequential fallback ran: no interleaved pairs this run
+        paired_med = None
     _partial(
         "cdc_pair",
         events=EVENTS,
@@ -558,8 +588,8 @@ column also pays a one-shot final rewrite of a 37.9M-row table on one
 box, which `rewrite_data_files` parallelizes across executors in
 production). Driver state stays O(bucket manifest) at every size; nothing
 in the driver grows with stream length. Extrapolating the measured
-efficiencies: 10^10 events ~= 4.5 h of apply on one 32-core box, minutes
-on a 40-executor cluster of the same boxes.
+efficiencies: 10^10 events ~= 1.5 h of apply on one 32-core box (at the
+measured 1.9M ev/s), minutes on a 40-executor cluster of the same boxes.
 
 ## Per-query protocol
 

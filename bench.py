@@ -181,6 +181,12 @@ def _cdc_pair(changes: str, scratch: str) -> tuple[dict, dict, list[float]]:
             paired.append(
                 round((rl["wall_sec"] / rh["wall_sec"]) / (HI_CORES / LO_CORES), 3)
             )
+            # loaded-host guard: the pair phase may not eat the whole budget
+            # (run 5 of round 4: 835s of 1500 before the skew leg started).
+            # Two rounds minimum keeps one post-JIT rep per level; the step
+            # workers report best-so-far, so stopping early stays correct.
+            if BUDGET > 0 and len(paired) >= 2 and _elapsed() > BUDGET * 0.55:
+                break
         return lo.finish(), hi.finish(), paired
     except Exception:
         for w in workers:  # no orphan JVMs behind the sequential fallback

@@ -39,9 +39,22 @@ from ..lake.table import LakeTable, _bucket_expr
 
 
 class IncrementalAggView:
-    """COUNT(*) + SUM(col...) per group over a source LakeTable, maintained
-    incrementally from ``changes_between``. AVG falls out as sum/count at
-    read time (algebraic aggregates decompose into distributive parts)."""
+    """COUNT(*) + SUM(col...) + MIN/MAX(col...) per group over a source
+    LakeTable, maintained incrementally from ``changes_between``. AVG falls
+    out as sum/count at read time (algebraic aggregates decompose into
+    distributive parts).
+
+    MIN/MAX are the retraction-hard case (not distributive under deletes):
+    an insert only ever tightens the extreme (``least(cur, new)`` — the
+    monotonic fast path), but retracting a row whose value EQUALS the
+    stored extreme may strand it, and the multiset of remaining values is
+    not in the view. The standard practical answer (Snowflake MV refresh,
+    DBSP's non-linear operators) is a bounded fallback: groups whose
+    retracted extreme ties the stored one are flagged and recomputed from
+    the source AT the refresh snapshot, via a broadcast semi-join on the
+    flagged group keys — O(source scan) worst case but only for the
+    flagged groups' rows, zero cost on append-only streams, and never a
+    per-row auxiliary structure in the view."""
 
     def __init__(self, spark: SparkSession, table: LakeTable, source: LakeTable):
         self.spark = spark
@@ -50,6 +63,7 @@ class IncrementalAggView:
         props = table.snapshot().props
         self.group_cols: list[str] = list(props["view_group_cols"])
         self.sum_cols: list[str] = list(props["view_sum_cols"])
+        self.minmax_cols: list[str] = list(props.get("view_minmax_cols", []))
 
     # ------------------------------------------------------------- bootstrap
     @classmethod
@@ -60,14 +74,18 @@ class IncrementalAggView:
         source: LakeTable,
         group_cols: list[str],
         sum_cols: list[str] | None = None,
+        minmax_cols: list[str] | None = None,
         bucket_count: int = 8,
     ) -> "IncrementalAggView":
         """Create an EMPTY view positioned at source snapshot 0 — the first
         ``refresh()`` is simply an incremental step from the empty table,
         so initial load and steady-state maintenance are one code path."""
         sum_cols = list(sum_cols or [])
+        minmax_cols = list(minmax_cols or [])
         src_schema = {f.name: f.dataType for f in source.snapshot().schema.fields}
-        missing = [c for c in group_cols + sum_cols if c not in src_schema]
+        missing = [
+            c for c in group_cols + sum_cols + minmax_cols if c not in src_schema
+        ]
         if missing:
             raise ValueError(f"columns not in source schema: {missing}")
         fields = [T.StructField(c, src_schema[c], True) for c in group_cols]
@@ -78,6 +96,9 @@ class IncrementalAggView:
                 dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
             ) else T.DoubleType()
             fields.append(T.StructField(f"sum_{c}", agg_t, True))
+        for c in minmax_cols:  # extremes keep the source column's own type
+            fields.append(T.StructField(f"min_{c}", src_schema[c], True))
+            fields.append(T.StructField(f"max_{c}", src_schema[c], True))
         fields.append(T.StructField("src_snap", T.LongType(), True))
         table = LakeTable.create(
             spark, path, T.StructType(fields), list(group_cols), bucket_count,
@@ -87,6 +108,7 @@ class IncrementalAggView:
                 "order_cols": ["src_snap"],
                 "view_group_cols": list(group_cols),
                 "view_sum_cols": sum_cols,
+                "view_minmax_cols": minmax_cols,
                 "view_source": source.path,
             },
         )
@@ -110,12 +132,16 @@ class IncrementalAggView:
         ch = self.source.changes_between(frm, to, with_before=True)
 
         g, s = self.group_cols, self.sum_cols
+        mm = self.minmax_cols
+        src_types = {f.name: f.dataType for f in self.source.snapshot().schema.fields}
         one = F.lit(1).cast("long")
         # additions: the AFTER image of every row that exists afterwards
         add = ch.where(F.col("op").isin("I", "U")).select(
             *[F.col(c).alias(c) for c in g],
             one.alias("d_rows"),
             *[F.col(c).cast("double").alias(f"d_sum_{c}") for c in s],
+            *[F.col(c).alias(f"a_{c}") for c in mm],
+            *[F.lit(None).cast(src_types[c]).alias(f"r_{c}") for c in mm],
         )
         # retractions: the BEFORE image of every row that existed before —
         # group columns come from the before-image too, so an update that
@@ -124,23 +150,28 @@ class IncrementalAggView:
             *[self._before(c).alias(c) for c in g],
             (-one).alias("d_rows"),
             *[(-self._before(c).cast("double")).alias(f"d_sum_{c}") for c in s],
+            *[F.lit(None).cast(src_types[c]).alias(f"a_{c}") for c in mm],
+            *[self._before(c).alias(f"r_{c}") for c in mm],
         )
+        keep = F.col("d_rows") != 0
+        for c in s:
+            keep = keep | (F.col(f"d_sum_{c}") != 0)
+        for c in mm:  # any value activity can move an extreme
+            keep = keep | F.col(f"amin_{c}").isNotNull() | F.col(f"rmin_{c}").isNotNull()
         delta = (
             add.unionByName(ret)
             .groupBy(*g)
             .agg(
                 F.sum("d_rows").alias("d_rows"),
                 *[F.sum(f"d_sum_{c}").alias(f"d_sum_{c}") for c in s],
+                *[x for c in mm for x in (
+                    F.min(f"a_{c}").alias(f"amin_{c}"),
+                    F.max(f"a_{c}").alias(f"amax_{c}"),
+                    F.min(f"r_{c}").alias(f"rmin_{c}"),
+                    F.max(f"r_{c}").alias(f"rmax_{c}"),
+                )],
             )
-            .where(
-                (F.col("d_rows") != 0)
-                | F.greatest(
-                    F.lit(False),
-                    *[F.col(f"d_sum_{c}") != 0 for c in s],
-                )
-                if s
-                else (F.col("d_rows") != 0)
-            )
+            .where(keep)
         )
         delta = delta.localCheckpoint(eager=True)  # small: one row per touched group
         if not delta.head(1):
@@ -160,9 +191,11 @@ class IncrementalAggView:
             ).distinct().collect()
         ]
         cur = self.table.read(buckets=tb).select(
-            *g, "n_rows", *[f"sum_{c}" for c in s]
+            *g, "n_rows", *[f"sum_{c}" for c in s],
+            *[x for c in mm for x in (f"min_{c}", f"max_{c}")],
         )
         joined = delta.join(cur, on=g, how="left")
+        survives = F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_rows") > 0
         upd_cols = [
             (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_rows")).alias("n_rows")
         ]
@@ -173,20 +206,76 @@ class IncrementalAggView:
                  + F.coalesce(F.col(f"d_sum_{c}"), F.lit(0.0)))
                 .cast(field.dataType).alias(f"sum_{c}")
             )
+        # monotonic fast path: an insert only tightens an extreme
+        # (least/greatest skip NULLs). A retraction can only STRAND one:
+        # the stored min/max may have been exactly the retracted row, and
+        # the view holds no multiset to fall back on — flag the group.
+        invalid = F.lit(False)
+        for c in mm:
+            upd_cols.append(F.least(F.col(f"min_{c}"), F.col(f"amin_{c}")).alias(f"min_{c}"))
+            upd_cols.append(F.greatest(F.col(f"max_{c}"), F.col(f"amax_{c}")).alias(f"max_{c}"))
+            invalid = invalid | (
+                F.col(f"rmin_{c}").isNotNull()
+                & F.col(f"min_{c}").isNotNull()
+                & (F.col(f"rmin_{c}") <= F.col(f"min_{c}"))
+            ) | (
+                F.col(f"rmax_{c}").isNotNull()
+                & F.col(f"max_{c}").isNotNull()
+                & (F.col(f"rmax_{c}") >= F.col(f"max_{c}"))
+            )
         updated = joined.select(
             *g,
             *upd_cols,
             F.lit(to).cast("long").alias("src_snap"),
-            F.when(
-                F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_rows") <= 0, "D"
-            ).otherwise("U").alias("op"),
+            F.when(~survives, "D").otherwise("U").alias("op"),
+            (survives & invalid).alias("_recompute") if mm
+            else F.lit(False).alias("_recompute"),
         )
+        n_recomputed = 0
+        if mm:
+            # bounded fallback (Snowflake-MV-style): recompute ONLY the
+            # flagged groups' extremes from the source AT this refresh's
+            # snapshot. Flagged keys are a subset of the touched groups
+            # (already assumed broadcast-small by the delta checkpoint);
+            # append-only streams never flag anything.
+            updated = updated.localCheckpoint(eager=True)
+            flagged = updated.where(F.col("_recompute")).select(*g)
+            n_recomputed = flagged.count()
+            if n_recomputed:
+                fresh = (
+                    self.source.read(snapshot_id=to)
+                    .join(F.broadcast(flagged), on=g, how="inner")
+                    .groupBy(*g)
+                    .agg(*[x for c in mm for x in (
+                        F.min(c).alias(f"fmin_{c}"),
+                        F.max(c).alias(f"fmax_{c}"),
+                    )])
+                )
+                repl = [
+                    x for c in mm for x in (
+                        F.when(F.col("_recompute"), F.col(f"fmin_{c}"))
+                        .otherwise(F.col(f"min_{c}")).alias(f"min_{c}"),
+                        F.when(F.col("_recompute"), F.col(f"fmax_{c}"))
+                        .otherwise(F.col(f"max_{c}")).alias(f"max_{c}"),
+                    )
+                ]
+                passthrough = [
+                    f.name for f in vsnap.schema.fields
+                    if not (mm and f.name in {x for c in mm for x in (f"min_{c}", f"max_{c}")})
+                ]
+                updated = (
+                    updated.join(fresh, on=g, how="left")
+                    .select(*passthrough, *repl, "op", "_recompute")
+                    .select(*[f.name for f in vsnap.schema.fields], "op", "_recompute")
+                )
+        updated = updated.drop("_recompute")
         self.table.append_delta(
             updated, summary={"source_snapshot": to},
             sort_cols=list(g),
         )
         n = updated.count()
         return {"refreshed": True, "groups_touched": int(n),
+                "groups_recomputed": int(n_recomputed),
                 "source_snapshot": to,
                 "view_snapshot": self.table.current_snapshot_id()}
 

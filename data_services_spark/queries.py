@@ -400,6 +400,68 @@ def engine_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "engine_incremental_minmax_view",
+    sql=f"""
+    WITH changes AS (
+        SELECT event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ts,
+               printf('u%04d', user_id) AS conv_id,
+               CAST(event_id % 37 AS INTEGER) AS turn_idx,
+               {_ROLE_CASE} AS role,
+               props AS text,
+               event_type AS tool
+        FROM changes_src
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM changes
+    ), final AS (
+        SELECT conv_id, turn_idx, role, text, tool, ts, lsn
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT role, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(lsn) AS BIGINT) AS min_lsn,
+           CAST(max(lsn) AS BIGINT) AS max_lsn,
+           CAST(min(turn_idx) AS INTEGER) AS min_turn_idx,
+           CAST(max(turn_idx) AS INTEGER) AS max_turn_idx
+    FROM final GROUP BY role
+    """.replace("changes_src", "events"),
+    doc="Incremental MIN/MAX view maintenance — the retraction-HARD case "
+        "(not distributive under deletes: a retracted row may BE the "
+        "stored extreme, and the view holds no multiset to fall back on). "
+        "Inserts take the monotonic least/greatest fast path; groups whose "
+        "retracted value ties the stored extreme are flagged and "
+        "recomputed from the source AT the refresh snapshot via a "
+        "broadcast semi-join on the flagged keys (Snowflake-MV-style "
+        "bounded fallback). This stream is a stress test: every LWW "
+        "update retracts the old row's lsn (frequently the group min) and "
+        "every delete can strand the max. The oracle recomputes from "
+        "scratch over the final LWW state — equality proves two "
+        "incremental refreshes converge to the full recompute.",
+)
+def engine_incremental_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+    from .operators.incremental_view import IncrementalAggView
+
+    scratch = tempfile.mkdtemp(prefix="q_mmview_")
+    stream = _engine_change_stream(spark, sf_dir)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    applier = CdcApplier.bootstrap(spark, scratch, bucket_count=8)
+    view = IncrementalAggView.create(
+        spark, f"{scratch}/view_mm", applier.target, ["role"],
+        minmax_cols=["lsn", "turn_idx"],
+    )
+    applier.replay(stream, chunk_size=hi, source_hi=hi // 2)
+    view.refresh()
+    applier.replay(stream, chunk_size=hi)
+    view.refresh()
+    return _materialize_and_clean(view.read(), scratch)
+
+
+@register(
     "engine_restart_final_state",
     sql=_engine_lww_oracle(_ROLE_CASE),
     doc="Two-microbatch apply with a hard restart between them: chunk 1 is "
@@ -3448,6 +3510,7 @@ _DRIVER_PRIORITY = [
     "engine_restart_final_state",
     "engine_pruned_time_scan",
     "engine_incremental_agg_view",
+    "engine_incremental_minmax_view",
     "multimodal_frame_sample",   # left no_oracle in r3; now fully oracled
     # code changed since their last driver check (r1/r2) — VERDICT_r03 §2
     "snapshot_diff_changes",

@@ -115,3 +115,123 @@ def test_count_only_view_and_touched_groups_bound(spark, tmp_path):
     out = view.refresh()
     assert out["groups_touched"] == 1
     _assert_view_matches(view, src)
+
+
+# ---------------------------------------------------------------- MIN/MAX
+
+def _recompute_mm(source):
+    return (
+        source.read()
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )
+
+
+def _assert_mm_matches(view, source):
+    cols = ["grp", "n_rows", "min_v", "max_v"]
+    got = {tuple(r) for r in view.read().select(*cols).collect()}
+    want = {tuple(r) for r in _recompute_mm(source).select(*cols).collect()}
+    assert got == want, f"view {sorted(got)} != recompute {sorted(want)}"
+
+
+def test_minmax_append_only_never_recomputes(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    src.overwrite(_rows(spark, [("k1", "A", 5), ("k2", "A", 9), ("k3", "B", 1)]))
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "view"), src, ["grp"], minmax_cols=["v"]
+    )
+    out = view.refresh()
+    assert out["groups_recomputed"] == 0  # pure inserts: monotonic fast path
+    _assert_mm_matches(view, src)
+    # more inserts, one tightening each extreme
+    src.append(_rows(spark, [("k4", "A", 2), ("k5", "A", 11), ("k6", "B", 0)]))
+    out = view.refresh()
+    assert out["groups_recomputed"] == 0
+    _assert_mm_matches(view, src)
+
+
+def test_minmax_retracting_the_extreme_recomputes(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    src.overwrite(_rows(spark, [
+        ("k1", "A", 1), ("k2", "A", 5), ("k3", "A", 9),
+        ("k4", "B", 4), ("k5", "B", 6),
+    ]))
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "view"), src, ["grp"], minmax_cols=["v"]
+    )
+    view.refresh()
+    # k1 held A's min and k3 its max: raise the min-holder, delete the
+    # max-holder — both extremes are stranded, the group must recompute
+    src.overwrite(_rows(spark, [
+        ("k1", "A", 5), ("k2", "A", 5),
+        ("k4", "B", 4), ("k5", "B", 6),
+    ]))
+    out = view.refresh()
+    assert out["groups_recomputed"] == 1  # A only; B untouched
+    _assert_mm_matches(view, src)
+
+
+def test_minmax_duplicate_extreme_survives_single_retraction(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    # TWO rows share the min value: deleting one must keep min=1 (the
+    # stored scalar cannot know the multiplicity — recompute proves it out)
+    src.overwrite(_rows(spark, [("k1", "A", 1), ("k2", "A", 1), ("k3", "A", 7)]))
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "view"), src, ["grp"], minmax_cols=["v"]
+    )
+    view.refresh()
+    src.overwrite(_rows(spark, [("k2", "A", 1), ("k3", "A", 7)]))
+    out = view.refresh()
+    assert out["groups_recomputed"] == 1
+    _assert_mm_matches(view, src)  # min still 1
+
+
+def test_minmax_group_move_and_nulls(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    src.overwrite(_rows(spark, [
+        ("k1", "A", 3), ("k2", "A", None), ("k3", "B", 8),
+    ]))
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "view"), src, ["grp"], ["v"], minmax_cols=["v"]
+    )
+    view.refresh()
+    _assert_mm_matches(view, src)
+    # k1 (A's only non-null value, both extremes) MOVES to B with a new
+    # value; A is left all-NULL (min/max NULL, group survives via k2)
+    src.overwrite(_rows(spark, [
+        ("k1", "B", 2), ("k2", "A", None), ("k3", "B", 8),
+    ]))
+    view.refresh()
+    _assert_mm_matches(view, src)
+    a = view.read().where(F.col("grp") == "A").collect()[0]
+    assert a.min_v is None and a.max_v is None and a.n_rows == 1
+
+
+def test_minmax_with_sums_combined_and_restart(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    src.overwrite(_rows(spark, [(f"k{i}", f"g{i % 3}", i) for i in range(30)]))
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "view"), src, ["grp"], ["v"], minmax_cols=["v"]
+    )
+    view.refresh()
+    # delete each group's current max (k27..k29), update each min (k0..k2)
+    src.overwrite(_rows(
+        spark,
+        [(f"k{i}", f"g{i % 3}", i + 100 if i < 3 else i) for i in range(27)],
+    ))
+    view2 = IncrementalAggView.load(spark, str(tmp_path / "view"), src)
+    out = view2.refresh()
+    assert out["groups_recomputed"] == 3
+    _assert_mm_matches(view2, src)
+    # sums stay exact alongside
+    got = {(r.grp, r.sum_v) for r in view2.read().collect()}
+    want = {
+        (r.grp, r.sum_v)
+        for r in src.read().groupBy("grp")
+        .agg(F.sum("v").cast("long").alias("sum_v")).collect()
+    }
+    assert got == want

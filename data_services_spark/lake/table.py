@@ -486,6 +486,53 @@ class LakeTable:
         merged = merged.select(out_cols)
         return _finish(merged if clean is None else clean.unionByName(merged))
 
+    def lookup(self, keys: DataFrame | list[dict]) -> DataFrame:
+        """Point-lookup read: the current rows for an explicit set of full
+        bucket-key values. Each key row hashes to exactly one bucket
+        (``_bucket_expr`` — the same Murmur3 the writers cluster by), so
+        the read opens O(distinct buckets among the keys) of the table's
+        buckets — at 64+ buckets a handful of needle keys touches a
+        fraction of the files with zero index structures (the GDPR
+        subject-access / targeted-repair read path; Iceberg gets the same
+        effect from bucket-partition pruning on point predicates).
+
+        ``keys``: a small DataFrame or list of dicts carrying ALL bucket
+        key columns (a prefix cannot prune — the bucket hash covers every
+        key column). The key set is broadcast; LWW delta resolution and
+        tombstone semantics are ``read``'s, unchanged."""
+        snap = self.snapshot()
+        if isinstance(keys, list):
+            present = set().union(*(d.keys() for d in keys)) if keys else set()
+        else:
+            present = set(keys.columns)
+        missing = [k for k in snap.bucket_keys if k not in present]
+        if missing:
+            raise ValueError(
+                f"lookup needs every bucket key; missing: {missing} "
+                f"(bucket hash covers {snap.bucket_keys} — a key prefix "
+                "cannot prune)"
+            )
+        if isinstance(keys, list):
+            kdf = self.spark.createDataFrame(
+                keys, T.StructType([
+                    T.StructField(f.name, f.dataType, True)
+                    for f in snap.schema.fields if f.name in snap.bucket_keys
+                ]),
+            )
+        else:
+            kdf = keys
+        kdf = kdf.select(*snap.bucket_keys).dropDuplicates()
+        buckets = sorted(
+            int(r["b"])
+            for r in kdf.select(
+                _bucket_expr(snap.bucket_keys, snap.bucket_count,
+                             snap.bucket_fn).alias("b")
+            ).distinct().collect()
+        )
+        return self.read(snapshot_id=snap.snapshot_id, buckets=buckets).join(
+            F.broadcast(kdf), on=list(snap.bucket_keys), how="left_semi"
+        )
+
     def changes_between(
         self,
         from_snapshot_id: int,

@@ -550,6 +550,41 @@ def engine_changelog_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(b.target.read().drop("lsn"), scratch)
 
 
+@register(
+    "engine_key_lookup",
+    sql=f"""
+    SELECT * FROM ({_engine_lww_oracle(_ROLE_CASE)})
+    WHERE conv_id IN ('u0001', 'u0007', 'u0042')
+    """,
+    doc="Point-lookup read path (GDPR subject-access / targeted-repair "
+        "shape): LakeTable.lookup hashes each full key to its bucket "
+        "driver-side (the same Murmur3 the writers cluster by) and opens "
+        "ONLY those buckets' files — O(distinct buckets among the keys), "
+        "no index structures, LWW delta resolution and tombstones intact "
+        "(Iceberg bucket-partition pruning on point predicates). The key "
+        "set here is every possible turn of three conversations (the "
+        "cross product covers turn_idx 0..36 exactly, so the SQL filter "
+        "on conv_id alone is the same predicate); the oracle filters the "
+        "full LWW state. tests/test_lake_table.py pins that a needle "
+        "lookup scans a strict subset of the files a full read opens.",
+)
+def engine_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+
+    scratch = tempfile.mkdtemp(prefix="q_lookup_")
+    stream = _engine_change_stream(spark, sf_dir)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    applier = CdcApplier.bootstrap(spark, scratch, bucket_count=16)
+    applier.replay(stream, chunk_size=hi + 1)
+    keys = [
+        {"conv_id": f"u{c:04d}", "turn_idx": t}
+        for c in (1, 7, 42) for t in range(37)
+    ]
+    return _materialize_and_clean(applier.target.lookup(keys), scratch)
+
+
 # --------------------------------------------------------------------------
 # Aggregations (SURVEY §2.4)
 # --------------------------------------------------------------------------
@@ -3572,6 +3607,7 @@ _DRIVER_PRIORITY = [
     "engine_incremental_agg_view",
     "engine_incremental_minmax_view",
     "engine_changelog_chain",
+    "engine_key_lookup",
     "multimodal_frame_sample",   # left no_oracle in r3; now fully oracled
     # code changed since their last driver check (r1/r2) — VERDICT_r03 §2
     "snapshot_diff_changes",

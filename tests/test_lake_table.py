@@ -311,3 +311,35 @@ def test_describe_metadata_only_health(spark, tmp_table_dir):
     t.compact()
     d2 = t.describe()
     assert d2["n_delta_files"] == 0 and d2["base_tombstones"] is True
+
+
+def test_lookup_point_read_prunes_and_resolves_lww(spark, tmp_table_dir):
+    t = LakeTable.create(
+        spark, tmp_table_dir, SCHEMA, ["k"], bucket_count=8,
+        props={"merge_keys": ["k"], "order_cols": ["i"]},
+    )
+    t.append(_df(spark, [(f"k{i}", 1, f"v{i}") for i in range(24)]))
+    # MOR delta: k3 updated — lookup must resolve the winner, and k5 deleted
+    t.append_delta(
+        _df(spark, [("k3", 2, "v3b"), ("k5", 2, "gone")]).withColumn(
+            "op", F.when(F.col("k") == "k5", "D").otherwise("U")
+        )
+    )
+    got = {(r.k, r.i, r.v) for r in t.lookup(
+        [{"k": "k3"}, {"k": "k5"}, {"k": "k19"}, {"k": "missing"}]
+    ).collect()}
+    assert got == {("k3", 2, "v3b"), ("k19", 1, "v19")}
+    # pruning: a single-key lookup scans a strict subset of the files a
+    # full read opens (one bucket of eight)
+    full_files = set(t.read().inputFiles())
+    needle_files = set(t.lookup([{"k": "k19"}]).inputFiles())
+    assert needle_files and needle_files < full_files
+    # a key prefix cannot prune: missing bucket key is an explicit error
+    t2 = LakeTable.create(
+        spark, tmp_table_dir + "_2", SCHEMA, ["k", "i"], bucket_count=4,
+        props={"merge_keys": ["k", "i"]},
+    )
+    t2.append(_df(spark, [("a", 1, "x")]))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="every bucket key"):
+        t2.lookup([{"k": "a"}])

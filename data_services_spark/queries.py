@@ -654,6 +654,81 @@ def engine_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(t.read().drop("lsn"), scratch)
 
 
+@register(
+    "engine_time_travel",
+    sql=f"""
+    WITH changes AS (
+        SELECT event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ts,
+               printf('u%04d', user_id) AS conv_id,
+               CAST(event_id % 37 AS INTEGER) AS turn_idx,
+               {_ROLE_CASE} AS role,
+               props AS text,
+               event_type AS tool
+        FROM events
+        WHERE event_id <= (SELECT max(event_id) / 2 FROM events)
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts, lsn
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="Time travel (Iceberg VERSION AS OF): the stream applies in two "
+        "windows, the SECOND window's commits — including a full "
+        "read-optimise compaction that rewrites every bucket — land on "
+        "top, and the entry reads the table AT the snapshot committed by "
+        "window 1. The oracle replays ONLY the first half of the stream: "
+        "equality proves historical snapshots stay byte-consistent under "
+        "later writes AND later compaction (old files are referenced by "
+        "the old manifest until expire_snapshots, the GC horizon).",
+)
+def engine_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+
+    scratch = tempfile.mkdtemp(prefix="q_tt_")
+    stream = _engine_change_stream(spark, sf_dir)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    applier = CdcApplier.bootstrap(spark, scratch, bucket_count=8)
+    applier.replay(stream, chunk_size=hi, source_hi=hi // 2)
+    s1 = applier.target.current_snapshot_id()
+    applier.replay(stream, chunk_size=hi, compact_at_end=True)
+    return _materialize_and_clean(applier.target.read(snapshot_id=s1), scratch)
+
+
+@register(
+    "engine_tombstone_gc",
+    sql=_engine_lww_oracle(_ROLE_CASE),
+    doc="Tombstone GC through the driver surface: after the full replay "
+        "and compaction the table's delete tombstones (op='D' winners "
+        "retained in base files for out-of-order safety) are expired with "
+        "expire_tombstones(None) — the explicit declaration that no "
+        "pre-delete event can still arrive (Cassandra gc_grace / Iceberg "
+        "delete-file expiry). The CURRENT state must be unchanged by the "
+        "GC rewrite (tombstones are invisible to live reads); the oracle "
+        "is the standard one-batch LWW state. The resurrection hazard the "
+        "tombstones guard against — and the horizon contract after GC — "
+        "are pinned by tests/test_tombstones.py.",
+)
+def engine_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+
+    scratch = tempfile.mkdtemp(prefix="q_gc_")
+    stream = _engine_change_stream(spark, sf_dir)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    applier = CdcApplier.bootstrap(spark, scratch, bucket_count=8)
+    applier.replay(stream, chunk_size=hi + 1, compact_at_end=True)
+    snap = applier.target.expire_tombstones(None)
+    assert snap.operation == "expire_tombstones"
+    return _materialize_and_clean(applier.target.read(), scratch)
+
+
 # --------------------------------------------------------------------------
 # Aggregations (SURVEY §2.4)
 # --------------------------------------------------------------------------
@@ -3678,6 +3753,8 @@ _DRIVER_PRIORITY = [
     "engine_changelog_chain",
     "engine_key_lookup",
     "engine_concurrent_writers",
+    "engine_time_travel",
+    "engine_tombstone_gc",
     "multimodal_frame_sample",   # left no_oracle in r3; now fully oracled
     # code changed since their last driver check (r1/r2) — VERDICT_r03 §2
     "snapshot_diff_changes",

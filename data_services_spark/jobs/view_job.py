@@ -20,7 +20,7 @@ Run::
   spark-submit --py-files dist/data_services_spark.zip \\
     data_services_spark/jobs/view_job.py --root /lake/views/per_role \\
     --source /lake/transcripts --create --group-cols role \\
-    --sum-cols turn_idx --minmax-cols lsn,ts
+    --sum-cols turn_idx --minmax-cols ts
   # ... later, after each ingest window:
   spark-submit ... view_job.py --root /lake/views/per_role \\
     --source /lake/transcripts --refresh

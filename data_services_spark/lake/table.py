@@ -521,7 +521,14 @@ class LakeTable:
             )
         else:
             kdf = keys
-        kdf = kdf.select(*snap.bucket_keys).dropDuplicates()
+        key_types = {f.name: f.dataType for f in snap.schema.fields}
+        # cast to the table's own key types: Spark's Murmur3 is
+        # type-sensitive (hash(5L) != hash(5)), so an int-vs-long mismatch
+        # in a caller-built frame would hash to the WRONG buckets and the
+        # lookup would silently miss rows
+        kdf = kdf.select(
+            *[F.col(k).cast(key_types[k]).alias(k) for k in snap.bucket_keys]
+        ).dropDuplicates()
         buckets = sorted(
             int(r["b"])
             for r in kdf.select(
@@ -574,7 +581,10 @@ class LakeTable:
             f.name for f in s_to.schema.fields
             if f.name not in keys and f.name != "ts"
         ]
-        before = payload if with_before else None
+        # ts rides the before-image list too: a retraction-side consumer
+        # (incremental MIN/MAX over event time) needs the PREVIOUS ts of
+        # U/D rows — the changelog's top-level ts is the after-image for U
+        before = payload + (["ts"] if has_ts else []) if with_before else None
 
         def _with_ts(df: DataFrame) -> DataFrame:
             # tables without an event-time column still diff; the changelog

@@ -29,6 +29,7 @@ Mechanics per refresh:
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -88,6 +89,15 @@ class IncrementalAggView:
         ]
         if missing:
             raise ValueError(f"columns not in source schema: {missing}")
+        reserved = {"lsn", "op"} & set(group_cols + sum_cols + minmax_cols)
+        if reserved:
+            raise ValueError(
+                f"cannot maintain aggregates over {sorted(reserved)}: the "
+                "changelog re-stamps 'lsn' as its transport ordering column "
+                "(the stored after-image is not recoverable from "
+                "changes_between) and 'op' is the change-type marker — "
+                "aggregate over the business columns instead"
+            )
         fields = [T.StructField(c, src_schema[c], True) for c in group_cols]
         fields.append(T.StructField("n_rows", T.LongType(), True))
         for c in sum_cols:
@@ -116,7 +126,15 @@ class IncrementalAggView:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, source: LakeTable) -> "IncrementalAggView":
-        return cls(spark, LakeTable(spark, path), source)
+        view = cls(spark, LakeTable(spark, path), source)
+        bound = view.table.snapshot().props.get("view_source")
+        if bound and os.path.abspath(bound) != os.path.abspath(source.path):
+            raise ValueError(
+                f"view {path} was created over source {bound}, not "
+                f"{source.path}: refreshing against a different table would "
+                "apply a foreign changelog on top of these aggregates"
+            )
+        return view
 
     # --------------------------------------------------------------- refresh
     def last_source_snapshot(self) -> int:
@@ -178,6 +196,7 @@ class IncrementalAggView:
             # source moved but no net group change (e.g. ts-only updates)
             snap = self.table.commit_summary({"source_snapshot": to})
             return {"refreshed": True, "groups_touched": 0,
+                    "groups_recomputed": 0,
                     "source_snapshot": to, "view_snapshot": snap.snapshot_id}
 
         # current state for TOUCHED buckets only (the view is bucketed by
@@ -194,7 +213,14 @@ class IncrementalAggView:
             *g, "n_rows", *[f"sum_{c}" for c in s],
             *[x for c in mm for x in (f"min_{c}", f"max_{c}")],
         )
-        joined = delta.join(cur, on=g, how="left")
+        # null-safe on the group columns: a NULL-valued group key is one
+        # group (SQL GROUP BY semantics) and must keep matching its stored
+        # view row — a plain equi-join would re-create it every window
+        joined = delta.join(
+            cur, [delta[c].eqNullSafe(cur[c]) for c in g], "left"
+        )
+        for c in g:
+            joined = joined.drop(cur[c])
         survives = F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_rows") > 0
         upd_cols = [
             (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_rows")).alias("n_rows")
@@ -232,6 +258,7 @@ class IncrementalAggView:
             else F.lit(False).alias("_recompute"),
         )
         n_recomputed = 0
+        n_touched = None
         if mm:
             # bounded fallback (Snowflake-MV-style): recompute ONLY the
             # flagged groups' extremes from the source AT this refresh's
@@ -239,18 +266,24 @@ class IncrementalAggView:
             # (already assumed broadcast-small by the delta checkpoint);
             # append-only streams never flag anything.
             updated = updated.localCheckpoint(eager=True)
+            n_touched = updated.count()  # checkpointed: counting is free,
+            # and the left join below preserves row count — never count the
+            # post-join plan (it would re-run the O(source) recompute scan)
             flagged = updated.where(F.col("_recompute")).select(*g)
             n_recomputed = flagged.count()
             if n_recomputed:
-                fresh = (
-                    self.source.read(snapshot_id=to)
-                    .join(F.broadcast(flagged), on=g, how="inner")
-                    .groupBy(*g)
-                    .agg(*[x for c in mm for x in (
+                src = self.source.read(snapshot_id=to)
+                matched = src.join(
+                    F.broadcast(flagged),
+                    [src[c].eqNullSafe(flagged[c]) for c in g],
+                    "left_semi",
+                )
+                fresh = matched.groupBy(*g).agg(*[
+                    x for c in mm for x in (
                         F.min(c).alias(f"fmin_{c}"),
                         F.max(c).alias(f"fmax_{c}"),
-                    )])
-                )
+                    )
+                ])
                 repl = [
                     x for c in mm for x in (
                         F.when(F.col("_recompute"), F.col(f"fmin_{c}"))
@@ -259,13 +292,20 @@ class IncrementalAggView:
                         .otherwise(F.col(f"max_{c}")).alias(f"max_{c}"),
                     )
                 ]
+                mm_names = {x for c in mm for x in (f"min_{c}", f"max_{c}")}
                 passthrough = [
                     f.name for f in vsnap.schema.fields
-                    if not (mm and f.name in {x for c in mm for x in (f"min_{c}", f"max_{c}")})
+                    if f.name not in mm_names
                 ]
+                joined2 = updated.join(
+                    fresh,
+                    [updated[c].eqNullSafe(fresh[c]) for c in g],
+                    "left",
+                )
+                for c in g:
+                    joined2 = joined2.drop(fresh[c])
                 updated = (
-                    updated.join(fresh, on=g, how="left")
-                    .select(*passthrough, *repl, "op", "_recompute")
+                    joined2.select(*passthrough, *repl, "op", "_recompute")
                     .select(*[f.name for f in vsnap.schema.fields], "op", "_recompute")
                 )
         updated = updated.drop("_recompute")
@@ -273,8 +313,9 @@ class IncrementalAggView:
             updated, summary={"source_snapshot": to},
             sort_cols=list(g),
         )
-        n = updated.count()
-        return {"refreshed": True, "groups_touched": int(n),
+        if n_touched is None:
+            n_touched = updated.count()
+        return {"refreshed": True, "groups_touched": int(n_touched),
                 "groups_recomputed": int(n_recomputed),
                 "source_snapshot": to,
                 "view_snapshot": self.table.current_snapshot_id()}

@@ -421,8 +421,8 @@ def engine_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked WHERE rn = 1 AND op <> 'D'
     )
     SELECT role, CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(min(lsn) AS BIGINT) AS min_lsn,
-           CAST(max(lsn) AS BIGINT) AS max_lsn,
+           min(ts) AS min_ts,
+           max(ts) AS max_ts,
            CAST(min(turn_idx) AS INTEGER) AS min_turn_idx,
            CAST(max(turn_idx) AS INTEGER) AS max_turn_idx
     FROM final GROUP BY role
@@ -434,11 +434,14 @@ def engine_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "retracted value ties the stored extreme are flagged and "
         "recomputed from the source AT the refresh snapshot via a "
         "broadcast semi-join on the flagged keys (Snowflake-MV-style "
-        "bounded fallback). This stream is a stress test: every LWW "
-        "update retracts the old row's lsn (frequently the group min) and "
-        "every delete can strand the max. The oracle recomputes from "
-        "scratch over the final LWW state — equality proves two "
-        "incremental refreshes converge to the full recompute.",
+        "bounded fallback). Tracked extremes are the per-role first/last "
+        "event time (the _prev_ts before-image feeds the retraction side) "
+        "and turn-index span — business columns; aggregating the "
+        "changelog's transport 'lsn' is an explicit create()-time error "
+        "(the re-stamped after-image would be meaningless). Updates and "
+        "deletes strand extremes on this stream, so the fallback path is "
+        "genuinely exercised; the oracle recomputes from scratch over the "
+        "final LWW state.",
 )
 def engine_incremental_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -452,7 +455,7 @@ def engine_incremental_minmax_view(spark: SparkSession, sf_dir: str) -> DataFram
     applier = CdcApplier.bootstrap(spark, scratch, bucket_count=8)
     view = IncrementalAggView.create(
         spark, f"{scratch}/view_mm", applier.target, ["role"],
-        minmax_cols=["lsn", "turn_idx"],
+        minmax_cols=["ts", "turn_idx"],
     )
     applier.replay(stream, chunk_size=hi, source_hi=hi // 2)
     view.refresh()
@@ -534,7 +537,8 @@ def engine_changelog_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = int(
             a.target.snapshot(s_to).summary.get("offsets", {}).get("last_lsn", -1)
         ) + 1
-        shift = (b.committed_lsn() or -1) + 1 - base
+        bc = b.committed_lsn()
+        shift = (bc if bc is not None else -1) + 1 - base
         b.replay(
             ch.withColumn("lsn", (F.col("lsn") + F.lit(shift)).cast("long")),
             chunk_size=2 * hi + 10,

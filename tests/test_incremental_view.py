@@ -235,3 +235,70 @@ def test_minmax_with_sums_combined_and_restart(spark, tmp_path):
         .agg(F.sum("v").cast("long").alias("sum_v")).collect()
     }
     assert got == want
+
+
+def test_null_group_key_is_one_stable_group(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    # grp=NULL rows form ONE group (SQL GROUP BY semantics) and must keep
+    # matching their stored view row across refreshes — a plain equi-join
+    # would re-create the NULL group every window
+    src.overwrite(_rows(spark, [
+        ("k1", None, 4), ("k2", None, 9), ("k3", "A", 1),
+    ]))
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "view"), src, ["grp"], ["v"], minmax_cols=["v"]
+    )
+    view.refresh()
+    _assert_mm_matches(view, src)
+    # second window touches the NULL group: one insert, and the deletion
+    # of its current max (strands the extreme -> recompute on a NULL key)
+    src.overwrite(_rows(spark, [
+        ("k1", None, 4), ("k4", None, 6), ("k3", "A", 1),
+    ]))
+    out = view.refresh()
+    assert out["groups_recomputed"] == 1
+    _assert_mm_matches(view, src)
+    null_row = [r for r in view.read().collect() if r.grp is None][0]
+    assert (null_row.n_rows, null_row.min_v, null_row.max_v) == (2, 4, 6)
+
+
+def test_reserved_changelog_columns_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    from data_services_spark.cdc.generator import generate_changes
+    from data_services_spark.cdc.apply import CdcApplier
+
+    applier = CdcApplier.bootstrap(spark, str(tmp_path / "lake"), bucket_count=4)
+    applier.replay(
+        generate_changes(spark, 500, n_convs=40, max_turns=6, seed=3),
+        chunk_size=500,
+    )
+    # the changelog re-stamps 'lsn' as its transport ordering column: the
+    # stored after-image is unrecoverable, so aggregating it is an error
+    with _pytest.raises(ValueError, match="transport ordering column"):
+        IncrementalAggView.create(
+            spark, str(tmp_path / "v1"), applier.target, ["role"],
+            minmax_cols=["lsn"],
+        )
+    with _pytest.raises(ValueError, match="transport ordering column"):
+        IncrementalAggView.create(
+            spark, str(tmp_path / "v2"), applier.target, ["role"],
+            sum_cols=["lsn"],
+        )
+
+
+def test_load_rejects_wrong_source(spark, tmp_path):
+    import pytest as _pytest
+
+    src = _src(spark, tmp_path)
+    src.overwrite(_rows(spark, [("k1", "A", 1)]))
+    other = LakeTable.create(
+        spark, str(tmp_path / "other"), SRC_SCHEMA, ["k"], bucket_count=2,
+        props={"merge_keys": ["k"]},
+    )
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "view"), src, ["grp"], ["v"]
+    )
+    view.refresh()
+    with _pytest.raises(ValueError, match="was created over source"):
+        IncrementalAggView.load(spark, str(tmp_path / "view"), other)

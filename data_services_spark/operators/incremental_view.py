@@ -106,6 +106,10 @@ class IncrementalAggView:
                 dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
             ) else T.DoubleType()
             fields.append(T.StructField(f"sum_{c}", agg_t, True))
+            # non-null contribution count: SQL SUM over zero non-null rows
+            # is NULL, which a bare accumulator cannot distinguish from a
+            # sum that happens to be 0 — read() nulls the sum when nn==0
+            fields.append(T.StructField(f"nn_{c}", T.LongType(), True))
         for c in minmax_cols:  # extremes keep the source column's own type
             fields.append(T.StructField(f"min_{c}", src_schema[c], True))
             fields.append(T.StructField(f"max_{c}", src_schema[c], True))
@@ -158,6 +162,7 @@ class IncrementalAggView:
             *[F.col(c).alias(c) for c in g],
             one.alias("d_rows"),
             *[F.col(c).cast("double").alias(f"d_sum_{c}") for c in s],
+            *[F.col(c).isNotNull().cast("long").alias(f"d_nn_{c}") for c in s],
             *[F.col(c).alias(f"a_{c}") for c in mm],
             *[F.lit(None).cast(src_types[c]).alias(f"r_{c}") for c in mm],
         )
@@ -168,12 +173,14 @@ class IncrementalAggView:
             *[self._before(c).alias(c) for c in g],
             (-one).alias("d_rows"),
             *[(-self._before(c).cast("double")).alias(f"d_sum_{c}") for c in s],
+            *[(-self._before(c).isNotNull().cast("long")).alias(f"d_nn_{c}")
+              for c in s],
             *[F.lit(None).cast(src_types[c]).alias(f"a_{c}") for c in mm],
             *[self._before(c).alias(f"r_{c}") for c in mm],
         )
         keep = F.col("d_rows") != 0
         for c in s:
-            keep = keep | (F.col(f"d_sum_{c}") != 0)
+            keep = keep | (F.col(f"d_sum_{c}") != 0) | (F.col(f"d_nn_{c}") != 0)
         for c in mm:  # any value activity can move an extreme
             keep = keep | F.col(f"amin_{c}").isNotNull() | F.col(f"rmin_{c}").isNotNull()
         delta = (
@@ -182,6 +189,7 @@ class IncrementalAggView:
             .agg(
                 F.sum("d_rows").alias("d_rows"),
                 *[F.sum(f"d_sum_{c}").alias(f"d_sum_{c}") for c in s],
+                *[F.sum(f"d_nn_{c}").alias(f"d_nn_{c}") for c in s],
                 *[x for c in mm for x in (
                     F.min(f"a_{c}").alias(f"amin_{c}"),
                     F.max(f"a_{c}").alias(f"amax_{c}"),
@@ -210,7 +218,8 @@ class IncrementalAggView:
             ).distinct().collect()
         ]
         cur = self.table.read(buckets=tb).select(
-            *g, "n_rows", *[f"sum_{c}" for c in s],
+            *g, "n_rows",
+            *[x for c in s for x in (f"sum_{c}", f"nn_{c}")],
             *[x for c in mm for x in (f"min_{c}", f"max_{c}")],
         )
         # null-safe on the group columns: a NULL-valued group key is one
@@ -231,6 +240,11 @@ class IncrementalAggView:
                 (F.coalesce(F.col(f"sum_{c}").cast("double"), F.lit(0.0))
                  + F.coalesce(F.col(f"d_sum_{c}"), F.lit(0.0)))
                 .cast(field.dataType).alias(f"sum_{c}")
+            )
+            upd_cols.append(
+                (F.coalesce(F.col(f"nn_{c}"), F.lit(0))
+                 + F.coalesce(F.col(f"d_nn_{c}"), F.lit(0)))
+                .cast("long").alias(f"nn_{c}")
             )
         # monotonic fast path: an insert only tightens an extreme
         # (least/greatest skip NULLs). A retraction can only STRAND one:
@@ -331,5 +345,14 @@ class IncrementalAggView:
 
     # ------------------------------------------------------------------ read
     def read(self) -> DataFrame:
-        """Current view state (LWW-resolved, tombstoned groups gone)."""
-        return self.table.read().drop("src_snap")
+        """Current view state (LWW-resolved, tombstoned groups gone). SQL
+        SUM semantics at the boundary: a group whose every contribution is
+        NULL reads sum_<c> = NULL (the nn_<c> non-null counter decides),
+        exactly what GROUP BY SUM returns."""
+        df = self.table.read().drop("src_snap")
+        for c in self.sum_cols:
+            df = df.withColumn(
+                f"sum_{c}",
+                F.when(F.col(f"nn_{c}") > 0, F.col(f"sum_{c}")),
+            ).drop(f"nn_{c}")
+        return df

@@ -43,6 +43,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--compact-threshold", type=int, default=16)
     ap.add_argument("--stop-when-idle", action="store_true",
                     help="process everything available, then stop (cron mode)")
+    ap.add_argument("--refresh-views", default="",
+                    help="comma-separated incremental-view table paths to "
+                         "refresh after every micro-batch (streaming mart: "
+                         "each view lags the table by at most one batch)")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -68,12 +72,20 @@ def main(argv: list[str] | None = None) -> int:
             compact_threshold=args.compact_threshold or None,
         )
 
+    from data_services_spark.operators.incremental_view import IncrementalAggView
+
+    views = [
+        IncrementalAggView.load(spark, v, applier.target)
+        for v in args.refresh_views.split(",") if v
+    ]
+
     t0 = time.monotonic()
     q = start_apply_stream(
         applier,
         stream_changes(spark, args.source_dir, args.max_files_per_trigger),
         checkpoint_dir=args.checkpoint,
         trigger_seconds=args.trigger_seconds,
+        views=views,
     )
     try:
         if args.stop_when_idle:

@@ -42,6 +42,7 @@ def start_apply_stream(
     checkpoint_dir: str,
     trigger_seconds: int | None = None,
     transform=None,
+    views=None,
 ) -> StreamingQuery:
     """Run the CDC apply loop as a streaming query (foreachBatch sink).
 
@@ -51,7 +52,15 @@ def start_apply_stream(
     ``cdc/qc.py``), exactly where the reference applies its lookup +
     default-flag pass per fetched file (``lookup.py:147-165``,
     ``netcdf.py:71-83``). Must be a pure projection for the exactly-once
-    epoch skip to stay valid (it is re-run on redelivery)."""
+    epoch skip to stay valid (it is re-run on redelivery).
+
+    ``views`` (optional list of IncrementalAggView over this applier's
+    target) refresh after each micro-batch commit — the streaming mart:
+    every reporting aggregate is at most one micro-batch behind the
+    table. Crash-safe without coordination: each view's watermark is the
+    source snapshot id riding its OWN atomic commit, so a crash between
+    table commit and view refresh just means the next batch's refresh
+    covers two changelog windows (the refresh is incremental either way)."""
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if transform is not None:
@@ -59,6 +68,8 @@ def start_apply_stream(
         applier.apply_chunk(batch_df, lo=-1, hi=None, batch_id=epoch_id, epoch=epoch_id)
         # bound MOR delta layering across a long-running stream
         applier.maybe_compact()
+        for v in views or []:
+            v.refresh()
 
     writer = (
         changes_stream.writeStream.foreachBatch(apply_batch)

@@ -198,3 +198,44 @@ def test_stream_transform_hook_applies_mapping_and_qc(spark, tmp_path):
         | ((F.col("text_qc") == FLAG_MISSING) & F.col("text").isNotNull())
     )
     assert bad.count() == 0
+
+
+def test_streaming_view_refresh_per_microbatch(spark, tmp_path):
+    """Views attached to the stream refresh after every micro-batch: the
+    mart lags the table by at most one batch and ends exactly equal to a
+    from-scratch recompute (SUM + retraction-hard MIN/MAX included)."""
+    from data_services_spark.operators.incremental_view import IncrementalAggView
+
+    src = str(tmp_path / "stream_src")
+    _write_stream_files(spark, src, n_files=3)
+    applier = CdcApplier.bootstrap(spark, str(tmp_path / "lake"), bucket_count=8)
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "view"), applier.target, ["role"],
+        ["turn_idx"], minmax_cols=["ts"],
+    )
+
+    q = start_apply_stream(
+        applier,
+        stream_changes(spark, src, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        views=[view],
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # view advanced with the stream (not one terminal refresh)
+    assert view.last_source_snapshot() == applier.target.current_snapshot_id()
+    got = {
+        (r.role, r.n_rows, r.sum_turn_idx, r.min_ts, r.max_ts)
+        for r in view.read().collect()
+    }
+    want = {
+        tuple(r)
+        for r in applier.target.read().groupBy("role").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("turn_idx").cast("long").alias("sum_turn_idx"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        ).collect()
+    }
+    assert got == want

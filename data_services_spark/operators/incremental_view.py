@@ -344,15 +344,28 @@ class IncrementalAggView:
         return list(snap.props.get("merge_keys", snap.bucket_keys))
 
     # ------------------------------------------------------------------ read
-    def read(self) -> DataFrame:
+    def read(self, with_avg: bool = False) -> DataFrame:
         """Current view state (LWW-resolved, tombstoned groups gone). SQL
         SUM semantics at the boundary: a group whose every contribution is
         NULL reads sum_<c> = NULL (the nn_<c> non-null counter decides),
-        exactly what GROUP BY SUM returns."""
+        exactly what GROUP BY SUM returns. ``with_avg=True`` adds
+        ``avg_<c>`` for every SUM column — sum over the NON-NULL count
+        (algebraic AVG decomposed into its distributive parts), which is
+        SQL AVG exactly: NULL contributions don't dilute, all-NULL groups
+        read NULL."""
         df = self.table.read().drop("src_snap")
         for c in self.sum_cols:
             df = df.withColumn(
                 f"sum_{c}",
                 F.when(F.col(f"nn_{c}") > 0, F.col(f"sum_{c}")),
-            ).drop(f"nn_{c}")
+            )
+            if with_avg:
+                df = df.withColumn(
+                    f"avg_{c}",
+                    F.when(
+                        F.col(f"nn_{c}") > 0,
+                        F.col(f"sum_{c}").cast("double") / F.col(f"nn_{c}"),
+                    ),
+                )
+            df = df.drop(f"nn_{c}")
         return df

@@ -302,3 +302,24 @@ def test_load_rejects_wrong_source(spark, tmp_path):
     view.refresh()
     with _pytest.raises(ValueError, match="was created over source"):
         IncrementalAggView.load(spark, str(tmp_path / "view"), other)
+
+
+def test_read_with_avg_is_sql_avg(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    # A: values (2, 4, NULL) -> AVG 3.0 (NULL doesn't dilute); B: all-NULL
+    # -> AVG NULL; C: single value
+    src.overwrite(_rows(spark, [
+        ("k1", "A", 2), ("k2", "A", 4), ("k3", "A", None),
+        ("k4", "B", None), ("k5", "C", 7),
+    ]))
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "view"), src, ["grp"], ["v"]
+    )
+    view.refresh()
+    got = {(r.grp, r.avg_v) for r in view.read(with_avg=True).collect()}
+    want = {
+        (r.grp, r.avg_v)
+        for r in src.read().groupBy("grp")
+        .agg(F.avg("v").alias("avg_v")).collect()
+    }
+    assert got == want == {("A", 3.0), ("B", None), ("C", 7.0)}

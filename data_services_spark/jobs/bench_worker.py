@@ -317,6 +317,15 @@ def main(argv: list[str] | None = None) -> int:
             pass  # missing optional table: the query that needs it will say so
 
     names = [n for n in args.queries.split(",") if n] or list(REGISTRY)
+    # battery order: plain queries first, the engine-in-the-loop entries
+    # (full CdcApplier replays — the heaviest and most GC/JIT-disruptive
+    # block) last. Ordinary per-query walls then aren't inflated by the
+    # engine block's JVM churn (round-4 run 7 measured simhash_buckets at
+    # 3.9 s right after the engine block vs 0.9 s warm standalone), and a
+    # deadline cut drops engine timings — whose correctness evidence lives
+    # in the driver gate anyway — before ordinary coverage.
+    names = [n for n in names if not n.startswith("engine_")] + \
+            [n for n in names if n.startswith("engine_")]
     timings = {}
     failed = []
     skipped = []
@@ -359,11 +368,21 @@ def main(argv: list[str] | None = None) -> int:
     # The deadline bounds this pass too: first-rep coverage of every query
     # beats second-rep polish of a few.
     for name in [n for n, w in timings.items() if w < 15.0]:
-        if _past_deadline():
-            break
-        w = _run_once(name, record_fail=False)
-        if w is not None and w < timings[name]:
-            timings[name] = w
+        # up to 3 re-measures, stopping as soon as a rep fails to improve
+        # the best by >30% — first-compilation / GC-shadow decay can span
+        # more than one rep after a heavy neighbour (round-4: 12 s -> 0.9 s
+        # across reps), while a steady query exits after one re-measure
+        for _ in range(3):
+            if _past_deadline():
+                break
+            best_before = timings[name]
+            w = _run_once(name, record_fail=False)
+            if w is None:
+                break
+            if w < timings[name]:
+                timings[name] = w
+            if w > 0.7 * best_before:
+                break
     if failed:
         timings["_failed"] = sorted(set(failed))  # visible, never silent
     if skipped:

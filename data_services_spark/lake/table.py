@@ -851,7 +851,9 @@ class LakeTable:
             appended = {
                 b: snap.bucket_files.get(b, []) + fs for b, fs in new_files.items()
             }
-            schema = self._evolve_schema(snap.schema, df.schema)
+            schema = self._evolve_schema(
+                snap.schema, df.schema, frozen=snap.bucket_keys
+            )
             return self._commit(
                 "append", appended, snap.bucket_files, schema, summary or {},
                 snap.snapshot_id,
@@ -860,10 +862,43 @@ class LakeTable:
         return retry_commit(attempt)
 
     @staticmethod
-    def _evolve_schema(old: T.StructType, new: T.StructType) -> T.StructType:
-        """Additive evolution: old columns keep position/type, genuinely new
-        columns are appended. Type changes are rejected (only additive
-        evolution is supported, like the reference's versioned layouts)."""
+    def _promote_type(a: T.DataType, b: T.DataType) -> T.DataType | None:
+        """Common type under the Iceberg-spec safe-promotion lattice
+        (byte -> short -> int -> long within the integral family,
+        float -> double), or ``None`` when the pair is not promotable.
+        Narrow parquet files stay valid under the widened read schema —
+        Spark's vectorized reader upcasts int32 pages into an int64
+        column natively, so widening is a metadata-only commit (no
+        rewrite of existing files)."""
+        if a == b:
+            return a
+        for family in (
+            (T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()),
+            (T.FloatType(), T.DoubleType()),
+        ):
+            if a in family and b in family:
+                return family[max(family.index(a), family.index(b))]
+        return None
+
+    @staticmethod
+    def _evolve_schema(
+        old: T.StructType,
+        new: T.StructType,
+        frozen: tuple[str, ...] | list[str] = (),
+    ) -> T.StructType:
+        """Additive + widening evolution: old columns keep their position,
+        genuinely new columns are appended, and an existing column whose
+        incoming type sits higher in the safe-promotion lattice
+        (int family upward, float -> double — the Iceberg spec rules) is
+        widened in place. A narrower incoming type keeps the table's wider
+        type (the read schema upcasts the new files). Any other type
+        change is rejected.
+
+        ``frozen`` columns (the bucket keys) never change type: the bucket
+        id is ``pmod(hash(keys...), N)`` and Spark hashes an int and a
+        long of the same value differently, so widening a key in place
+        would scatter existing keys across buckets. Widening a key
+        requires ``rebucket`` (a full re-hash) with the key pre-cast."""
         fields = list(old.fields)
         have = {f.name for f in fields}
         for f in new.fields:
@@ -873,11 +908,26 @@ class LakeTable:
             if f.name not in have:
                 fields.append(f)
             else:
-                old_f = next(x for x in fields if x.name == f.name)
-                if old_f.dataType != f.dataType:
+                i = next(j for j, x in enumerate(fields) if x.name == f.name)
+                old_f = fields[i]
+                if old_f.dataType == f.dataType:
+                    continue
+                widened = LakeTable._promote_type(old_f.dataType, f.dataType)
+                if widened is None:
                     raise ValueError(
                         f"non-additive schema change on {f.name}: "
                         f"{old_f.dataType} -> {f.dataType}"
+                    )
+                if widened != old_f.dataType:
+                    if f.name in frozen:
+                        raise ValueError(
+                            f"type widening on bucket key {f.name} "
+                            f"({old_f.dataType} -> {widened}) would re-hash "
+                            "bucket assignment; rewrite via rebucket() with "
+                            "the key explicitly cast instead"
+                        )
+                    fields[i] = T.StructField(
+                        f.name, widened, old_f.nullable or f.nullable
                     )
         return T.StructType(fields)
 
@@ -910,7 +960,9 @@ class LakeTable:
         deltas = {
             b: fs for b, fs in snap.delta_files.items() if int(b) not in affected_set
         }
-        schema = new_schema or self._evolve_schema(snap.schema, df.schema)
+        schema = new_schema or self._evolve_schema(
+            snap.schema, df.schema, frozen=snap.bucket_keys
+        )
         return self._commit(
             "merge", new_files, carried, schema, summary or {},
             expected_parent if expected_parent is not None else snap.snapshot_id,
@@ -958,7 +1010,7 @@ class LakeTable:
             [f for f in df_schema.fields
              if f.name != "op" and not f.name.startswith("_")]
         )
-        schema = self._evolve_schema(snap.schema, visible)
+        schema = self._evolve_schema(snap.schema, visible, frozen=snap.bucket_keys)
         return self._commit(
             "delta-append", {}, snap.bucket_files, schema, summary or {},
             expected_parent if expected_parent is not None else snap.snapshot_id,
@@ -1082,7 +1134,12 @@ class LakeTable:
                 ):
                     parts = [pq.read_table(f) for f in list(base_files)]
                     parts += [pq.read_table(f) for f in list(delta_files)]
-                    tbl = pa.concat_tables(parts, promote_options="default")
+                    # "permissive" (vs "default") additionally widens
+                    # numerics across files — pre-widen files keep their
+                    # narrow physical type (type widening is metadata-only,
+                    # mirroring the Spark read path's upcast), so a bucket
+                    # may legitimately mix int32 and int64 pages
+                    tbl = pa.concat_tables(parts, promote_options="permissive")
                     missing = [c for c in cols if c not in tbl.column_names]
                     if missing:
                         raise ValueError(

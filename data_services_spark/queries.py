@@ -259,6 +259,66 @@ def engine_schema_evolution_state(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "engine_type_widening_state",
+    sql=f"""
+    WITH changes AS (
+        SELECT event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ts,
+               printf('u%04d', user_id) AS conv_id,
+               CAST(event_id % 37 AS INTEGER) AS turn_idx,
+               {_ROLE_CASE} AS role,
+               props AS text,
+               event_type AS tool
+        FROM events
+    ), split AS (
+        SELECT CAST(max(lsn) // 2 AS BIGINT) AS s FROM changes
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts, lsn,
+           CAST(CASE WHEN lsn > (SELECT s FROM split)
+                     THEN lsn % 1000 + 34359738368
+                     ELSE lsn % 1000 END AS BIGINT) AS score
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="Type-widening schema evolution through the REAL engine (Iceberg "
+        "safe-promotion rules: int -> long in place, metadata-only — no "
+        "rewrite of existing files): chunk 1 replays with an int32 'score' "
+        "metadata column, chunk 2 arrives with score as int64 carrying "
+        "values above 2^35 (upstream ALTER TABLE ... BIGINT mid-stream). "
+        "The widened table must read pre-widen winners from narrow parquet "
+        "pages upcast to long and post-widen winners with their full "
+        "64-bit values — the oracle pins both eras' exact values, so a "
+        "truncation, a dropped widen, or a mis-cast turns the driver red. "
+        "Bucket keys are frozen against widening (hash(int) != hash(long) "
+        "would scatter keys); that guard is pytest-pinned in "
+        "tests/test_lake_table.py.",
+)
+def engine_type_widening_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+
+    scratch = tempfile.mkdtemp(prefix="q_widen_")
+    stream = _engine_change_stream(spark, sf_dir)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    split = hi // 2
+    narrow = stream.withColumn(
+        "score", F.pmod("lsn", F.lit(1000)).cast("int")
+    )
+    wide = stream.withColumn(
+        "score", (F.pmod("lsn", F.lit(1000)) + F.lit(34359738368)).cast("long")
+    )
+    applier = CdcApplier.bootstrap(spark, scratch, bucket_count=8)
+    applier.replay(narrow, chunk_size=hi, source_hi=split)
+    applier.replay(wide, chunk_size=hi)
+    return _materialize_and_clean(applier.target.read(), scratch)
+
+
+@register(
     "engine_rebucket_equality",
     sql=_engine_lww_oracle(_ROLE_CASE),
     doc="Partition evolution through the REAL engine: the stream replays "
@@ -3750,6 +3810,7 @@ _DRIVER_PRIORITY = [
     "engine_requeue_final_state",
     "engine_rebucket_equality",
     "engine_schema_evolution_state",
+    "engine_type_widening_state",
     "engine_restart_final_state",
     "engine_pruned_time_scan",
     "engine_incremental_agg_view",
@@ -3795,7 +3856,8 @@ _DRIVER_PRIORITY = [
     "embedding_cosine_neardup",
     "json_flatten_props",
     "topk_per_group",
-    "dropna_subset",
+    # dropna_subset rotated out to make room for engine_type_widening_state
+    # (r2-green, code unchanged since r1; falls to declaration order)
     "multiformat_timestamp_parse",
     "bounds_quarantine_split",
     # refresh slots: flagship + recall floors keep standing r4 evidence

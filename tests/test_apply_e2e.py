@@ -247,3 +247,45 @@ def test_report_view_cascade(spark, changes_path, tmp_path):
     # HAVING report: with a fully caught-up replay nothing should lag
     stale = stale_partitions_report(applier.lineage.read(), lag_threshold=3000)
     assert stale.count() == 0
+
+
+def test_type_widening_mid_stream(spark, tmp_path):
+    """Upstream ALTER TABLE ... INT -> BIGINT mid-stream: chunk 1 carries an
+    int32 'score' metadata column, chunk 2 the same column as int64 with
+    values above 2^35. The widen is metadata-only (no rewrite); pre-widen
+    winners upcast from narrow parquet pages, and compaction preserves the
+    widened state bit-for-bit."""
+    root = str(tmp_path / "lake")
+    applier = CdcApplier.bootstrap(spark, root, bucket_count=4)
+    full = generate_changes(spark, 4000, n_convs=100, max_turns=10, seed=29)
+    narrow = full.where("lsn < 2000").withColumn(
+        "score", F.pmod("lsn", F.lit(1000)).cast("int")
+    )
+    wide = full.where("lsn >= 2000").withColumn(
+        "score", (F.pmod("lsn", F.lit(1000)) + F.lit(1 << 35)).cast("long")
+    )
+    applier.apply_chunk(narrow, -1, 1999, batch_id=0)
+    assert dict(applier.target.read().dtypes)["score"] == "int"
+    applier.apply_chunk(wide, 1999, 3999, batch_id=1)
+    got = applier.target.read()
+    assert dict(got.dtypes)["score"] == "bigint"
+    # every winner's score matches its winning lsn's era exactly
+    bad = got.where(
+        (F.col("score").isNotNull())
+        & (
+            F.when(
+                F.col("lsn") >= 2000,
+                F.col("score") != F.pmod("lsn", F.lit(1000)) + F.lit(1 << 35),
+            ).otherwise(F.col("score") != F.pmod("lsn", F.lit(1000)))
+        )
+    ).count()
+    assert bad == 0
+    assert got.where("lsn >= 2000").where(F.col("score") < (1 << 35)).count() == 0
+    pre_compact = got.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    applier.target.compact()
+    post = (
+        applier.target.read().toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert dict(applier.target.read().dtypes)["score"] == "bigint"
+    assert pre_compact.equals(post)

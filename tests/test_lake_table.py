@@ -343,3 +343,57 @@ def test_lookup_point_read_prunes_and_resolves_lww(spark, tmp_table_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="every bucket key"):
         t2.lookup([{"k": "a"}])
+
+
+def test_type_widening_evolution(spark, tmp_table_dir):
+    """int->long / float->double widening is a metadata-only commit: old
+    narrow parquet files upcast under the widened read schema (Iceberg
+    safe-promotion rules); later narrow writers keep the wide schema."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("i", T.IntegerType(), True),
+            T.StructField("f", T.FloatType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, tmp_table_dir, schema, ["k"], bucket_count=2)
+    t.append(spark.createDataFrame([("a", 1, 1.5)], schema))
+    t.append(
+        spark.createDataFrame(
+            [("b", 2**40, 2.5)], "k string, i bigint, f double"
+        )
+    )
+    df = t.read().orderBy("k")
+    assert dict(df.dtypes) == {"k": "string", "i": "bigint", "f": "double"}
+    rows = df.collect()
+    assert [r["i"] for r in rows] == [1, 2**40]
+    assert [r["f"] for r in rows] == [1.5, 2.5]
+    # a narrower writer after the widen: accepted, schema stays wide
+    t.append(spark.createDataFrame([("c", 3, 3.5)], schema))
+    df = t.read()
+    assert dict(df.dtypes)["i"] == "bigint"
+    assert df.where("k = 'c'").collect()[0]["i"] == 3
+    # time travel to the pre-widen snapshot keeps the narrow schema
+    assert dict(t.read(snapshot_id=1).dtypes)["i"] == "int"
+    # incompatible change still rejected
+    with pytest.raises(ValueError, match="non-additive"):
+        t.append(spark.createDataFrame([("d", "no", 1.0)], "k string, i string, f double"))
+    # narrowing long -> int on a long column is NOT a schema change
+    # (covered by the ("c", 3, 3.5) append above); double -> float same:
+    assert dict(t.read().dtypes)["f"] == "double"
+
+
+def test_type_widening_bucket_key_rejected(spark, tmp_table_dir):
+    """Widening a bucket-key column is refused: hash(int) != hash(long) in
+    Spark, so an in-place widen would scatter existing keys to the wrong
+    buckets. The error points at rebucket()."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, tmp_table_dir, schema, ["k"], bucket_count=2)
+    t.append(spark.createDataFrame([(1, "x")], schema))
+    with pytest.raises(ValueError, match="rebucket"):
+        t.append(spark.createDataFrame([(2**40, "y")], "k bigint, v string"))

@@ -43,6 +43,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--compact-threshold", type=int, default=16)
     ap.add_argument("--stop-when-idle", action="store_true",
                     help="process everything available, then stop (cron mode)")
+    ap.add_argument("--evolved-columns", default="",
+                    help="DDL fragment of columns the upstream schema gained "
+                         "since the base shape, e.g. 'score INT, meta STRING'. "
+                         "A streaming file source fixes its schema per query "
+                         "run, so upstream evolution = stop this job and "
+                         "redeploy it with the widened schema (same "
+                         "checkpoint); pre-evolution files read as null / "
+                         "upcast, and the sink table evolves under the "
+                         "additive + safe-promotion rules")
     ap.add_argument("--refresh-views", default="",
                     help="comma-separated incremental-view table paths to "
                          "refresh after every micro-batch (streaming mart: "
@@ -79,10 +88,21 @@ def main(argv: list[str] | None = None) -> int:
         for v in args.refresh_views.split(",") if v
     ]
 
+    schema = None
+    if args.evolved_columns:
+        from pyspark.sql import types as T
+
+        from data_services_spark.cdc.schemas import CHANGES_SCHEMA
+
+        extra = T.StructType.fromDDL(args.evolved_columns)
+        schema = T.StructType(CHANGES_SCHEMA.fields + extra.fields)
+
     t0 = time.monotonic()
     q = start_apply_stream(
         applier,
-        stream_changes(spark, args.source_dir, args.max_files_per_trigger),
+        stream_changes(
+            spark, args.source_dir, args.max_files_per_trigger, schema=schema
+        ),
         checkpoint_dir=args.checkpoint,
         trigger_seconds=args.trigger_seconds,
         views=views,

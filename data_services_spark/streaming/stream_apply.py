@@ -27,10 +27,25 @@ from ..cdc.apply import CdcApplier
 from ..cdc.schemas import CHANGES_SCHEMA
 
 
-def stream_changes(spark: SparkSession, path: str, max_files_per_trigger: int = 8) -> DataFrame:
-    """Tail a directory of change-event parquet files as a stream."""
+def stream_changes(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 8,
+    schema=None,
+) -> DataFrame:
+    """Tail a directory of change-event parquet files as a stream.
+
+    ``schema`` overrides the read schema for an EVOLVED stream: a
+    Structured Streaming file source fixes its schema per query run, so
+    upstream schema evolution (new column, int -> long widen) is a stream
+    REDEPLOY with the widened schema — the standard Debezium/Kafka
+    procedure. Files written before the evolution read as null (new
+    column) or upcast (widened column) under the wider schema; the sink
+    side evolves the lake table via the same ``_evolve_schema`` rules as
+    batch replay, and the streaming checkpoint carries across the restart
+    unchanged (source offsets are file positions, not schema-bound)."""
     return (
-        spark.readStream.schema(CHANGES_SCHEMA)
+        spark.readStream.schema(schema or CHANGES_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )

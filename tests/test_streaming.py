@@ -239,3 +239,81 @@ def test_streaming_view_refresh_per_microbatch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_restart_with_evolved_schema(spark, tmp_path):
+    """Upstream schema evolution across stream redeploys — the standard
+    Debezium/Kafka procedure (a streaming file source fixes its schema per
+    query RUN, so evolution = stop, redeploy with the widened schema, same
+    checkpoint): run 1 applies the base shape; new files land with an extra
+    int32 'score' column and run 2 redeploys with it; later files carry
+    score as int64 above 2^35 and run 3 redeploys with the widened schema
+    (run-2's narrow parquet pages upcast under the long read schema). The
+    final table has the evolved bigint column, pre-evolution winners read
+    it as null, both eras' values are exact, and the three runs share one
+    streaming checkpoint with no duplicates or gaps."""
+    from pyspark.sql import types as T
+
+    from data_services_spark.cdc.schemas import CHANGES_SCHEMA
+
+    src = str(tmp_path / "stream_src")
+    root = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    _write_stream_files(spark, src, n_files=2)  # lsn 0..3000, base schema
+    full = generate_changes(spark, 9000, n_convs=120, max_turns=12, seed=33)
+
+    applier = CdcApplier.bootstrap(spark, root, bucket_count=8)
+    q = start_apply_stream(applier, stream_changes(spark, src, 1), ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert "score" not in dict(applier.target.read().dtypes)
+
+    # era 2: upstream adds score int32; files land while the query is down
+    (full.where((F.col("lsn") >= 3000) & (F.col("lsn") < 6000))
+         .withColumn("score", F.pmod("lsn", F.lit(1000)).cast("int"))
+         .coalesce(1).write.mode("append").parquet(src))
+    with_int = T.StructType(
+        CHANGES_SCHEMA.fields + [T.StructField("score", T.IntegerType(), True)]
+    )
+    applier = CdcApplier.load(spark, root)
+    q = start_apply_stream(
+        applier, stream_changes(spark, src, 1, schema=with_int), ckpt
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert dict(applier.target.read().dtypes)["score"] == "int"
+
+    # era 3: upstream widens score to int64 (values above 2^35)
+    (full.where(F.col("lsn") >= 6000)
+         .withColumn("score", (F.pmod("lsn", F.lit(1000)) + F.lit(1 << 35)).cast("long"))
+         .coalesce(1).write.mode("append").parquet(src))
+    with_long = T.StructType(
+        CHANGES_SCHEMA.fields + [T.StructField("score", T.LongType(), True)]
+    )
+    applier = CdcApplier.load(spark, root)
+    q = start_apply_stream(
+        applier, stream_changes(spark, src, 1, schema=with_long), ckpt
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = applier.target.read()
+    assert dict(got.dtypes)["score"] == "bigint"
+    ok, msg = table_state_matches(
+        got.toPandas(), expected_final_state(src, extra_cols=["score"])
+    )
+    assert ok, msg
+    # era attribution is exact: pre-evolution winners null, each era's values
+    assert got.where("lsn < 3000").where(F.col("score").isNotNull()).count() == 0
+    assert (
+        got.where("lsn >= 6000")
+        .where(F.col("score") != F.pmod("lsn", F.lit(1000)) + F.lit(1 << 35))
+        .count()
+        == 0
+    )
+    assert (
+        got.where("lsn >= 3000 AND lsn < 6000")
+        .where(F.col("score") != F.pmod("lsn", F.lit(1000)))
+        .count()
+        == 0
+    )

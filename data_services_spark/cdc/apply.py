@@ -745,6 +745,169 @@ class CdcApplier:
         out["still_quarantined"] = int(still.count())
         return out
 
+    # ------------------------------------------------- write-audit-publish
+    def stage_chunk(
+        self,
+        chunk: DataFrame,
+        wap_id: str,
+        hi: int | None = None,
+        batch_id: int | None = None,
+    ) -> dict[str, Any]:
+        """WAP ingest (Iceberg ``wap.id`` workflow): validate + LWW-dedup
+        the chunk exactly like the MOR apply path, but STAGE the winner
+        delta layer instead of committing it — readers cannot see it, and
+        ``committed_lsn()`` is unchanged. The offsets the chunk would
+        commit ride the staged summary and become visible atomically with
+        the data at :meth:`publish_chunk`, so exactly-once holds across
+        audit rejection: an abandoned batch is simply replayed or
+        re-staged later. Invalid rows quarantine immediately (they are
+        invalid regardless of the audit outcome — same
+        quarantine-before-commit ordering as ``apply_chunk``).
+        Reference analogue: files wait in wip/ until the checker passes
+        before moving into the indexed hierarchy; here the "move" is one
+        atomic snapshot flip over audited bytes."""
+        from pyspark.sql import Observation
+
+        if self.mode != "mor":
+            raise ValueError("stage_chunk requires mode='mor' (delta staging)")
+        snap = self.target.snapshot()
+        if batch_id is None:
+            batch_id = int(snap.summary.get("batch_id", -1)) + 1
+        committed = self.committed_lsn()
+        if committed is not None and hi is not None and hi <= committed:
+            return {"wap_id": wap_id, "skipped": True}
+
+        tagged = chunk.withColumn("_reason", self._reason(chunk))
+        ok = F.col("_reason").isNull()
+        obs = Observation()
+        tagged = tagged.observe(
+            obs,
+            F.sum(ok.cast("long")).alias("n_events"),
+            F.sum((~ok).cast("long")).alias("n_quarantined"),
+            F.max(F.when(ok, F.col("lsn"))).alias("max_lsn"),
+        )
+        valid = tagged.where(F.col("_reason").isNull()).drop("_reason")
+        winners = lww_dedup(
+            valid,
+            keys=self.keys,
+            order=self.order,
+            method=self.dedup_method,
+            salt_buckets=self.salt_buckets,
+        )
+        existing = [f.name for f in snap.schema.fields]
+        cols = (
+            [c for c in existing if c in winners.columns]
+            + [c for c in winners.columns if c not in existing and c != "op"]
+            + ["op"]
+        )
+        winners = winners.select(cols).withColumn(
+            "_del", F.when(F.col("op") == "D", F.lit(1))
+        )
+        _, new_files = self.target.write_delta_files(
+            winners, sort_cols=self.keys,
+            pre_partitioned=self.target.co_partitioned_write_ok(self.keys),
+        )
+        m = obs.get  # populated by the write action above
+        if hi is None and m["max_lsn"] is not None:
+            hi = int(m["max_lsn"])
+        per_bucket = self.target.file_stats(new_files)
+        per_part = {
+            b: int(st["max_lsn"]) if st["max_lsn"] is not None else int(hi)
+            for b, st in per_bucket.items()
+            if st["max_lsn"] is not None or hi is not None
+        }
+        summary = self._summary(snap, hi, batch_id, per_part)
+        if int(m["n_quarantined"] or 0):
+            self._write_quarantine(self._split(chunk)[1], batch_id)
+        man = self.target.stage_files(new_files, winners.schema, wap_id, summary)
+        return {
+            "wap_id": wap_id,
+            "skipped": False,
+            "base_id": man["base_id"],
+            "batch_id": batch_id,
+            "hi": hi,
+            "n_events": int(m["n_events"] or 0),
+            "n_quarantined": int(m["n_quarantined"] or 0),
+            "staged_files": sum(len(fs) for fs in new_files.values()),
+        }
+
+    def audit_staged(
+        self,
+        wap_id: str,
+        suite: Any | None = None,
+        refs: dict[str, DataFrame] | None = None,
+    ) -> tuple[bool, DataFrame]:
+        """The A of WAP: run a contract suite over the staged state — the
+        EXACT bytes publish would expose, resolved through the normal LWW /
+        tombstone read path. Returns ``(passed, report_df)``; the caller
+        publishes or abandons on the verdict."""
+        if suite is None:
+            from ..contracts import transcripts_suite
+
+            suite = transcripts_suite()
+        report = suite.run(self.target.read_staged(wap_id), refs=refs)
+        passed = report.where(F.col("n_violations") > 0).count() == 0
+        return passed, report
+
+    def publish_chunk(self, wap_id: str) -> int:
+        """WAP publish: one metadata-only snapshot flip makes files AND
+        offsets visible together. Lineage records the batch per bucket with
+        ``status='wap_published'``. Returns the published snapshot id."""
+        man = self.target.staged_manifest(wap_id)
+        per_bucket = (
+            self.target.file_stats(man["new_files"]) if man["new_files"] else {}
+        )
+        snap = self.target.publish_staged(wap_id)
+        batch_id = int(man.get("summary", {}).get("batch_id", -1))
+        if self.with_lineage and self.lineage is not None and per_bucket:
+            rows = [
+                {
+                    "batch_id": batch_id,
+                    "source_partition": int(b),
+                    "n_events": st["n_rows"],
+                    "n_upserts": st["n_rows"] - st["n_deletes"],
+                    "n_deletes": st["n_deletes"],
+                    "n_quarantined": 0,
+                    "min_lsn": st["min_lsn"],
+                    "max_lsn": st["max_lsn"],
+                    "min_ts": st["min_ts"],
+                    "max_ts": st["max_ts"],
+                    "status": "wap_published",
+                    "duration_ms": 0,
+                }
+                for b, st in sorted(per_bucket.items(), key=lambda kv: int(kv[0]))
+            ]
+            self.lineage.append(
+                self.spark.createDataFrame(rows, LINEAGE_SCHEMA),
+                summary={"batch_id": batch_id},
+            )
+        return snap.snapshot_id
+
+    def abandon_chunk(self, wap_id: str) -> int:
+        """WAP reject: delete the staged files + manifest; offsets never
+        advanced, so the batch's events replay (or re-stage) later — audit
+        rejection costs no events. A ``status='wap_abandoned'`` lineage row
+        keeps the rejection observable. Returns files removed."""
+        man = self.target.staged_manifest(wap_id)
+        n = self.target.abandon_staged(wap_id)
+        batch_id = int(man.get("summary", {}).get("batch_id", -1))
+        if self.with_lineage and self.lineage is not None:
+            row = [{
+                "batch_id": batch_id,
+                "source_partition": -1,
+                "n_events": 0, "n_upserts": 0, "n_deletes": 0,
+                "n_quarantined": 0,
+                "min_lsn": None, "max_lsn": None,
+                "min_ts": None, "max_ts": None,
+                "status": "wap_abandoned",
+                "duration_ms": 0,
+            }]
+            self.lineage.append(
+                self.spark.createDataFrame(row, LINEAGE_SCHEMA),
+                summary={"batch_id": batch_id},
+            )
+        return n
+
     # ---------------------------------------------------------------- replay
     def replay(
         self,

@@ -51,6 +51,14 @@ def main(argv: list[str] | None = None) -> int:
                          "(per-batch rollup, partition health, throughput)")
     ap.add_argument("--verify-oracle", action="store_true",
                     help="after replay, compare final state vs DuckDB oracle (needs --changes)")
+    ap.add_argument("--wap-audit", action="store_true",
+                    help="write-audit-publish ingest: STAGE each chunk "
+                         "(reader-invisible), run the contract suite over "
+                         "the staged state, publish on pass; on FAIL, "
+                         "abandon and HALT — offsets never advance past an "
+                         "unaudited batch, so the failed chunk (and "
+                         "everything after it) replays once the operator "
+                         "intervenes (exit code 3)")
     args = ap.parse_args(argv)
 
     # absolute imports: spark-submit executes this file as a top-level script
@@ -83,22 +91,63 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     t0 = time.monotonic()
-    stats = applier.replay(
-        changes, chunk_size=args.chunk_size, compact_at_end=args.compact_at_end
-    )
-    wall = time.monotonic() - t0
+    halted_at = None
+    if args.wap_audit:
+        from pyspark.sql import functions as F
 
-    total = 0
-    for s in stats:
-        total += s.n_events
-        print(json.dumps({
-            "batch_id": s.batch_id, "lo": s.lo, "hi": s.hi,
-            "n_events": s.n_events, "n_upserts": s.n_upserts,
-            "n_deletes": s.n_deletes, "n_quarantined": s.n_quarantined,
-            "skipped": s.skipped, "snapshot_id": s.snapshot_id,
-            "duration_ms": s.duration_ms,
-            "affected_buckets": len(s.affected_buckets),
-        }))
+        from data_services_spark.cdc.planner import plan_replay
+
+        source_hi = changes.agg(F.max("lsn")).collect()[0][0]
+        plan = plan_replay(source_hi, applier.committed_lsn(), args.chunk_size)
+        total, n_chunks = 0, 0
+        for lo, hi in plan.ranges:
+            chunk = changes.where((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+            wap_id = f"replay-{lo}-{hi}"
+            info = applier.stage_chunk(chunk, wap_id, hi=hi)
+            if info.get("skipped"):
+                continue
+            n_chunks += 1
+            passed, report = applier.audit_staged(wap_id)
+            if passed:
+                snap_id = applier.publish_chunk(wap_id)
+            else:
+                applier.abandon_chunk(wap_id)
+                snap_id = None
+            total += info["n_events"] if passed else 0
+            print(json.dumps({
+                "wap_id": wap_id, "lo": lo, "hi": hi,
+                "published": passed, "snapshot_id": snap_id,
+                "n_events": info["n_events"],
+                "n_quarantined": info["n_quarantined"],
+                "failed_checks": [] if passed else [
+                    r["check_name"]
+                    for r in (x.asDict() for x in report.collect())
+                    if r["n_violations"] > 0
+                ],
+            }))
+            if not passed:
+                # exactly-once: offsets must never advance past an
+                # unaudited batch — later chunks would strand its events
+                halted_at = wap_id
+                break
+        wall = time.monotonic() - t0
+    else:
+        stats = applier.replay(
+            changes, chunk_size=args.chunk_size, compact_at_end=args.compact_at_end
+        )
+        wall = time.monotonic() - t0
+
+        total, n_chunks = 0, len(stats)
+        for s in stats:
+            total += s.n_events
+            print(json.dumps({
+                "batch_id": s.batch_id, "lo": s.lo, "hi": s.hi,
+                "n_events": s.n_events, "n_upserts": s.n_upserts,
+                "n_deletes": s.n_deletes, "n_quarantined": s.n_quarantined,
+                "skipped": s.skipped, "snapshot_id": s.snapshot_id,
+                "duration_ms": s.duration_ms,
+                "affected_buckets": len(s.affected_buckets),
+            }))
 
     if args.report and not args.no_lineage:
         from data_services_spark.plans.reports import register_report_views
@@ -118,7 +167,7 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"view": view, "rows": rows}, default=str))
 
     summary = {
-        "chunks": len(stats),
+        "chunks": n_chunks,
         "events_applied": total,
         "wall_sec": round(wall, 3),
         "events_per_sec": round(total / wall, 1) if wall > 0 else None,
@@ -126,6 +175,10 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot_id": applier.target.current_snapshot_id(),
         "table_rows": applier.target.read().count(),
     }
+    if halted_at is not None:
+        summary["halted_at"] = halted_at
+        print(json.dumps(summary))
+        return 3
 
     if args.verify_oracle:
         if not args.changes:

@@ -380,7 +380,11 @@ class LakeTable:
         range can still WIN last-writer-wins against an in-range stale
         delta row, so those buckets resolve fully and filter after the
         merge)."""
-        snap = self.snapshot(snapshot_id)
+        snap = (
+            snapshot_id
+            if isinstance(snapshot_id, Snapshot)  # ephemeral (WAP audit read)
+            else self.snapshot(snapshot_id)
+        )
         if prune:
             known = {fld.name for fld in snap.schema.fields}
             bad = [c for c in prune if c not in known]
@@ -1033,6 +1037,227 @@ class LakeTable:
         _, new_files = self.write_delta_files(df, sort_cols)
         return self.commit_delta(new_files, df.schema, summary, expected_parent)
 
+    # --------------------------------------------------- write-audit-publish
+    # Iceberg's WAP workflow (spark.wap.id staged snapshots): a batch is
+    # written and audited while INVISIBLE to readers, then published by a
+    # metadata-only commit — or abandoned without ever having existed.
+    # Reference analogue: files land in a wip/ area and are only moved into
+    # the indexed hierarchy after the checker passes (the move-after-check
+    # convention across the harvest scripts); here the "move" is one atomic
+    # snapshot flip and the audit reads the EXACT bytes that will publish.
+
+    def _staged_path(self, wap_id: str) -> str:
+        return os.path.join(self._lake, f"staged-{wap_id}.json")
+
+    def stage_files(
+        self,
+        new_files: dict[str, list[str]],
+        df_schema: T.StructType,
+        wap_id: str,
+        summary: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Record already-written (uncommitted) delta files as a STAGED
+        batch under ``wap_id``. The manifest pins the base snapshot and the
+        bucket layout so ``publish_staged`` can detect a layout change; the
+        wap_id is claimed with O_EXCL link semantics (a duplicate stage
+        loses and its files are removed). Staged files are protected from
+        ``remove_orphan_files`` until published or abandoned."""
+        if not wap_id or wap_id != os.path.basename(wap_id) or wap_id.startswith("."):
+            raise ValueError(f"invalid wap_id {wap_id!r}")
+        snap = self.snapshot()
+        man = {
+            "wap_id": wap_id,
+            "base_id": snap.snapshot_id,
+            "bucket_count": snap.bucket_count,
+            "bucket_fn": snap.bucket_fn,
+            "new_files": {b: list(fs) for b, fs in new_files.items() if fs},
+            "schema": df_schema.jsonValue(),
+            "summary": summary or {},
+        }
+        tmp = os.path.join(self._lake, f".staged.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(man, f, default=_stat_json)
+        try:
+            os.link(tmp, self._staged_path(wap_id))  # O_EXCL claim
+        except FileExistsError:
+            os.remove(tmp)
+            self._remove_staged_data(man["new_files"])
+            raise ValueError(f"wap_id {wap_id!r} is already staged") from None
+        os.remove(tmp)
+        return man
+
+    def stage_delta(
+        self,
+        df: DataFrame,
+        wap_id: str,
+        summary: dict[str, Any] | None = None,
+        sort_cols: list[str] | None = None,
+        pre_partitioned: bool = False,
+    ) -> dict[str, Any]:
+        """WAP phase 1: write ``df`` (pre-deduped winner rows with an ``op``
+        tombstone column — the :meth:`append_delta` shape) as a staged,
+        reader-invisible delta batch. Audit with :meth:`read_staged`, make
+        visible with :meth:`publish_staged`, discard with
+        :meth:`abandon_staged`."""
+        _, new_files = self.write_delta_files(df, sort_cols, pre_partitioned)
+        return self.stage_files(new_files, df.schema, wap_id, summary)
+
+    def staged_manifest(self, wap_id: str) -> dict[str, Any]:
+        try:
+            with open(self._staged_path(wap_id)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise KeyError(
+                f"no staged batch {wap_id!r} on table {self.path} "
+                f"(staged: {self.list_staged()})"
+            ) from None
+
+    def list_staged(self) -> list[str]:
+        return sorted(
+            fn[len("staged-"):-len(".json")]
+            for fn in os.listdir(self._lake)
+            if fn.startswith("staged-") and fn.endswith(".json")
+        )
+
+    def _staged_snapshot(self, man: dict[str, Any]) -> Snapshot:
+        """Ephemeral snapshot = base snapshot + the staged delta overlay —
+        never written to the snapshot chain; exists so the audit reads
+        through the ordinary LWW/tombstone resolution path."""
+        base = self.snapshot(man["base_id"])
+        deltas = {b: list(fs) for b, fs in base.delta_files.items()}
+        for b, fs in man["new_files"].items():
+            deltas[b] = deltas.get(b, []) + list(fs)
+        staged = T.StructType.fromJson(man["schema"])
+        visible = T.StructType(
+            [f for f in staged.fields
+             if f.name != "op" and not f.name.startswith("_")]
+        )
+        schema = self._evolve_schema(base.schema, visible, frozen=base.bucket_keys)
+        return Snapshot(
+            snapshot_id=base.snapshot_id,
+            parent_id=base.parent_id,
+            operation="wap-staged",
+            schema_json=schema.jsonValue(),
+            bucket_count=base.bucket_count,
+            bucket_keys=base.bucket_keys,
+            bucket_files=base.bucket_files,
+            summary=dict(man.get("summary", {})),
+            delta_files={b: fs for b, fs in deltas.items() if fs},
+            props=base.props,
+            file_col_stats=base.file_col_stats,
+        )
+
+    def read_staged(self, wap_id: str, **kwargs: Any) -> DataFrame:
+        """Audit read: the table AS IF the staged batch were published over
+        its base snapshot — the exact bytes :meth:`publish_staged` will make
+        visible, resolved through the same LWW/tombstone plan as any read.
+        Ordinary readers never see this state."""
+        return self.read(
+            snapshot_id=self._staged_snapshot(self.staged_manifest(wap_id)),
+            **kwargs,
+        )
+
+    @staticmethod
+    def _merge_wap_summary(
+        cur: dict[str, Any], staged: dict[str, Any]
+    ) -> dict[str, Any]:
+        """Publish-time summary: the staged batch's summary, with offsets /
+        batch_id / epoch MAX-merged against the current snapshot so a
+        publish that lands after an intervening commit never moves the
+        resume watermark backwards (exactly-once depends on last_lsn being
+        monotonic across commits)."""
+        out = dict(staged)
+        co, so = cur.get("offsets"), staged.get("offsets")
+        if co and so:
+            pp = dict(co.get("per_partition", {}))
+            for b, v in so.get("per_partition", {}).items():
+                old = pp.get(b)
+                pp[b] = v if old is None else max(int(old), int(v))
+            out["offsets"] = {
+                "last_lsn": max(co.get("last_lsn", -1), so.get("last_lsn", -1)),
+                "per_partition": pp,
+            }
+        elif co:
+            out["offsets"] = co
+        for k in ("batch_id", "epoch"):
+            if k in cur and k in out:
+                out[k] = max(cur[k], out[k])
+            elif k in cur:
+                out[k] = cur[k]
+        return out
+
+    def publish_staged(self, wap_id: str) -> Snapshot:
+        """WAP phase 3: make the staged batch visible — one metadata-only
+        snapshot commit, no data movement. Fast-forward when the table has
+        not moved since the stage; cherry-pick onto the NEW current when it
+        has (safe for delta layers: LWW ranks rows by ``order_cols``, never
+        by file order, and tombstones are durable through intervening
+        compaction / CoW rewrites — so overlaying the staged files on any
+        later snapshot resolves to the same winners). A bucket-layout
+        change (rebucket) invalidates the staged files' bucket assignment
+        and refuses with instructions to re-stage. Offsets in the staged
+        summary publish atomically with the files (and are max-merged
+        against the current summary), so a CDC batch staged through this
+        path keeps the engine's exactly-once contract."""
+        man = self.staged_manifest(wap_id)
+        staged_schema = T.StructType.fromJson(man["schema"])
+
+        def attempt() -> Snapshot:
+            cur = self.snapshot()
+            if (
+                cur.bucket_count != man["bucket_count"]
+                or cur.bucket_fn != man["bucket_fn"]
+            ):
+                raise ValueError(
+                    f"bucket layout changed since {wap_id!r} was staged "
+                    f"({man['bucket_count']}/{man['bucket_fn']} -> "
+                    f"{cur.bucket_count}/{cur.bucket_fn}); abandon_staged "
+                    "and re-stage against the current layout"
+                )
+            summary = self._merge_wap_summary(
+                cur.summary, man.get("summary", {})
+            )
+            summary["wap_id"] = wap_id
+            return self.commit_delta(
+                man["new_files"], staged_schema, summary,
+                expected_parent=cur.snapshot_id,
+            )
+
+        snap = retry_commit(attempt)
+        os.remove(self._staged_path(wap_id))
+        return snap
+
+    def abandon_staged(self, wap_id: str) -> int:
+        """WAP reject: delete the staged batch's data files and manifest —
+        the batch never existed as far as any snapshot is concerned.
+        Returns the number of data files removed."""
+        man = self.staged_manifest(wap_id)
+        n = self._remove_staged_data(man["new_files"])
+        os.remove(self._staged_path(wap_id))
+        return n
+
+    def _remove_staged_data(self, new_files: dict[str, list[str]]) -> int:
+        """Remove a staged batch's data files, then their commit dirs
+        wholesale (a stage's token dir is exclusively its own, so the
+        ``_SUCCESS`` marker and checksum sidecars go with it). Returns the
+        number of data files that existed."""
+        n = 0
+        token_dirs: set[str] = set()
+        for fs in new_files.values():
+            for rel in fs:
+                p = os.path.join(self.path, rel)
+                if os.path.exists(p):
+                    os.remove(p)
+                    n += 1
+                # rel = data/<token>/bucket=N/file.parquet -> the token dir
+                parts = rel.split(os.sep)
+                if len(parts) >= 2:
+                    token_dirs.add(os.path.join(self.path, parts[0], parts[1]))
+        for d in token_dirs:
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+        return n
+
     def file_stats(
         self, files_by_bucket: dict[str, list[str]]
     ) -> dict[str, dict[str, Any]]:
@@ -1449,6 +1674,7 @@ class LakeTable:
             "order_cols": list(snap.props.get("order_cols", [])),
             "committed_lsn": snap.summary.get("offsets", {}).get("last_lsn"),
             "batch_id": snap.summary.get("batch_id"),
+            "staged_wap_ids": self.list_staged(),
         }
 
     def remove_orphan_files(self, older_than_sec: float = 86400.0) -> list[str]:
@@ -1467,22 +1693,54 @@ class LakeTable:
         import time as _time
 
         live = {f for s in self.snapshots() for f in s.all_files()}
+        # staged WAP batches are uncommitted BY DESIGN (audit in progress):
+        # their files belong to no snapshot yet but are not orphans
+        for wap_id in self.list_staged():
+            for fs in self.staged_manifest(wap_id)["new_files"].values():
+                live.update(fs)
+
+        def _norm(rel: str) -> str:
+            # a Hadoop checksum sidecar (.name.crc) lives and dies with its
+            # data file — treat it as the data file for liveness
+            d, b = os.path.split(rel)
+            if b.startswith(".") and b.endswith(".crc"):
+                b = b[1:-4]
+            return os.path.join(d, b)
+
         cutoff = _time.time() - older_than_sec
         removed: list[str] = []
         data_root = os.path.join(self.path, _DATA_DIR)
         if not os.path.isdir(data_root):
             return removed
+        def _is_marker(fn: str) -> bool:
+            # job-success markers belong to the commit DIR, not to any one
+            # data file — they are live while the dir holds any live file
+            return fn in ("_SUCCESS", "._SUCCESS.crc")
+
         for cdir in sorted(os.listdir(data_root)):
             cpath = os.path.join(data_root, cdir)
             if not os.path.isdir(cpath):
                 continue
-            for dirpath, _, files in os.walk(cpath):
-                for fn in files:
-                    p = os.path.join(dirpath, fn)
-                    rel = os.path.relpath(p, self.path)
-                    if rel not in live and os.path.getmtime(p) <= cutoff:
-                        os.remove(p)
-                        removed.append(rel)
+            entries = [
+                (os.path.join(dp, fn), fn)
+                for dp, _, fs in os.walk(cpath)
+                for fn in fs
+            ]
+            dir_live = any(
+                _norm(os.path.relpath(p, self.path)) in live
+                for p, fn in entries
+                if not _is_marker(fn)
+            )
+            for p, fn in entries:
+                rel = os.path.relpath(p, self.path)
+                if _is_marker(fn):
+                    if dir_live:
+                        continue
+                elif _norm(rel) in live:
+                    continue
+                if os.path.getmtime(p) <= cutoff:
+                    os.remove(p)
+                    removed.append(rel)
             # same age margin for file-less commit dirs: a concurrent
             # writer's just-created phase-1 dir is empty until its first
             # parquet lands, so only dirs older than the cutoff are debris

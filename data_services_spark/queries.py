@@ -650,6 +650,60 @@ def engine_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "engine_wap_publish",
+    sql=_engine_lww_oracle(_ROLE_CASE),
+    doc="Write-audit-publish through the REAL engine (Iceberg wap.id "
+        "staged snapshots; reference analogue: files wait in wip/ until "
+        "the checker passes before moving into the indexed hierarchy — "
+        "here the move is ONE atomic snapshot flip over the audited "
+        "bytes). Chunk 1 applies directly. A poison batch — turn_idx "
+        "5000, beyond the contract bound but inside ingest validity — is "
+        "staged, FAILS the audit suite, and is abandoned: zero trace, "
+        "zero offset movement. Chunk 2 is staged, audited against the "
+        "exact bytes publish will expose (the staged overlay resolves "
+        "through the normal LWW read path), and published metadata-only, "
+        "files + offsets in the same commit. Equality with the one-batch "
+        "oracle proves the audit gate loses no events, adds none, and "
+        "leaves no partial state.",
+)
+def engine_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+    from .contracts import Contract, ContractSuite
+
+    scratch = tempfile.mkdtemp(prefix="q_wap_")
+    stream = _engine_change_stream(spark, sf_dir)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    applier = CdcApplier.bootstrap(spark, scratch, bucket_count=8)
+    applier.replay(stream, chunk_size=hi, source_hi=hi // 2)
+
+    audit = ContractSuite([
+        Contract("key_unique", "unique", columns=["conv_id", "turn_idx"]),
+        Contract("turn_idx_in_range", "bounds", column="turn_idx",
+                 min_value=0, max_value=36),
+    ])
+    # poison: passes the ingest validator (turn_idx >= 0, role in domain)
+    # but violates the audit's turn-range contract -> abandoned untraced
+    poison = (
+        stream.where(F.col("lsn") > hi - 200)
+        .withColumn("turn_idx", F.lit(5000).cast("int"))
+        .withColumn("lsn", (F.col("lsn") + F.lit(10_000_000)).cast("long"))
+        .withColumn("op", F.lit("U"))
+    )
+    applier.stage_chunk(poison, "poison")
+    passed, _ = applier.audit_staged("poison", suite=audit)
+    assert not passed, "poison batch must fail the audit"
+    applier.abandon_chunk("poison")
+
+    applier.stage_chunk(stream.where(F.col("lsn") > hi // 2), "good", hi=hi)
+    passed, report = applier.audit_staged("good", suite=audit)
+    assert passed, report.collect()
+    applier.publish_chunk("good")
+    return _materialize_and_clean(applier.target.read(), scratch)
+
+
+@register(
     "engine_concurrent_writers",
     sql=f"""
     SELECT conv_id, turn_idx, role,
@@ -3807,6 +3861,7 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # round-4 additions / entries whose oracle or code changed this round
+    "engine_wap_publish",
     "engine_requeue_final_state",
     "engine_rebucket_equality",
     "engine_schema_evolution_state",

@@ -752,6 +752,7 @@ class CdcApplier:
         wap_id: str,
         hi: int | None = None,
         batch_id: int | None = None,
+        epoch: int | None = None,
     ) -> dict[str, Any]:
         """WAP ingest (Iceberg ``wap.id`` workflow): validate + LWW-dedup
         the chunk exactly like the MOR apply path, but STAGE the winner
@@ -773,9 +774,13 @@ class CdcApplier:
         snap = self.target.snapshot()
         if batch_id is None:
             batch_id = int(snap.summary.get("batch_id", -1)) + 1
-        committed = self.committed_lsn()
-        if committed is not None and hi is not None and hi <= committed:
-            return {"wap_id": wap_id, "skipped": True}
+        if epoch is not None:  # streaming: redelivered micro-batch -> no-op
+            if epoch <= snap.summary.get("epoch", -1):
+                return {"wap_id": wap_id, "skipped": True}
+        else:
+            committed = self.committed_lsn()
+            if committed is not None and hi is not None and hi <= committed:
+                return {"wap_id": wap_id, "skipped": True}
 
         tagged = chunk.withColumn("_reason", self._reason(chunk))
         ok = F.col("_reason").isNull()
@@ -816,7 +821,7 @@ class CdcApplier:
             for b, st in per_bucket.items()
             if st["max_lsn"] is not None or hi is not None
         }
-        summary = self._summary(snap, hi, batch_id, per_part)
+        summary = self._summary(snap, hi, batch_id, per_part, epoch)
         if int(m["n_quarantined"] or 0):
             self._write_quarantine(self._split(chunk)[1], batch_id)
         man = self.target.stage_files(new_files, winners.schema, wap_id, summary)

@@ -58,6 +58,7 @@ def start_apply_stream(
     trigger_seconds: int | None = None,
     transform=None,
     views=None,
+    audit_suite=None,
 ) -> StreamingQuery:
     """Run the CDC apply loop as a streaming query (foreachBatch sink).
 
@@ -75,12 +76,46 @@ def start_apply_stream(
     table. Crash-safe without coordination: each view's watermark is the
     source snapshot id riding its OWN atomic commit, so a crash between
     table commit and view refresh just means the next batch's refresh
-    covers two changelog windows (the refresh is incremental either way)."""
+    covers two changelog windows (the refresh is incremental either way).
+
+    ``audit_suite`` (optional ContractSuite) turns every micro-batch into a
+    write-audit-publish cycle: the batch is STAGED (reader-invisible), the
+    suite runs over the staged state, and only a passing batch publishes —
+    files + epoch offsets in one commit. A failing batch FAILS the query
+    (the streaming analogue of ``replay_job --wap-audit``'s exit 3): the
+    epoch never commits, so after the operator intervenes the restart
+    redelivers the same micro-batch. The failed batch stays staged for
+    inspection; the restart abandons and re-stages it."""
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if transform is not None:
             batch_df = transform(batch_df)
-        applier.apply_chunk(batch_df, lo=-1, hi=None, batch_id=epoch_id, epoch=epoch_id)
+        if audit_suite is None:
+            applier.apply_chunk(
+                batch_df, lo=-1, hi=None, batch_id=epoch_id, epoch=epoch_id
+            )
+        else:
+            wap_id = f"epoch-{epoch_id}"
+            if wap_id in applier.target.list_staged():
+                # redelivery after a crash (or audit failure) mid-cycle:
+                # drop the old stage and rebuild from the redelivered batch
+                applier.target.abandon_staged(wap_id)
+            info = applier.stage_chunk(
+                batch_df, wap_id, batch_id=epoch_id, epoch=epoch_id
+            )
+            if not info.get("skipped"):
+                passed, report = applier.audit_staged(wap_id, suite=audit_suite)
+                if not passed:
+                    bad = [
+                        r["check_name"]
+                        for r in (x.asDict() for x in report.collect())
+                        if r["n_violations"] > 0
+                    ]
+                    raise RuntimeError(
+                        f"micro-batch {epoch_id} failed audit {bad}; "
+                        f"kept staged as {wap_id!r} for inspection"
+                    )
+                applier.publish_chunk(wap_id)
         # bound MOR delta layering across a long-running stream
         applier.maybe_compact()
         for v in views or []:

@@ -252,6 +252,86 @@ def test_replay_job_wap_halt_on_audit_failure(spark, changes_path, tmp_path,
     assert applier.target.list_staged() == []  # abandoned, no residue
 
 
+def test_stream_wap_audit_matches_oracle(spark, tmp_path):
+    """Streaming WAP gate: every micro-batch stages, audits, publishes —
+    final state equals the oracle and epochs are committed (exactly-once
+    bookkeeping rode the published summaries)."""
+    from data_services_spark.contracts import transcripts_suite
+    from data_services_spark.streaming.stream_apply import (
+        start_apply_stream,
+        stream_changes,
+    )
+
+    src = str(tmp_path / "stream_src")
+    full = generate_changes(spark, 4500, n_convs=100, max_turns=12, seed=41)
+    for lo, hi in [(0, 1500), (1500, 3000), (3000, 4500)]:
+        (full.where((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+             .coalesce(1).write.mode("append").parquet(src))
+    applier = CdcApplier.bootstrap(spark, str(tmp_path / "lake"), bucket_count=8)
+
+    q = start_apply_stream(
+        applier,
+        stream_changes(spark, src, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        audit_suite=transcripts_suite(),
+    )
+    q.processAllAvailable()
+    q.stop()
+    ok, msg = table_state_matches(
+        applier.target.read().toPandas(), expected_final_state(src)
+    )
+    assert ok, msg
+    assert applier.target.snapshot().summary.get("epoch") is not None
+    assert applier.target.list_staged() == []
+
+
+def test_stream_wap_audit_failure_fails_query_then_recovers(spark, tmp_path):
+    """A failing micro-batch audit FAILS the query with the epoch
+    uncommitted and the batch left staged for inspection; a restart with a
+    passing suite redelivers the batch (abandon + re-stage) and converges
+    to the oracle — no events lost to the rejection."""
+    from data_services_spark.contracts import Contract, ContractSuite, transcripts_suite
+    from data_services_spark.streaming.stream_apply import (
+        start_apply_stream,
+        stream_changes,
+    )
+
+    src = str(tmp_path / "stream_src")
+    full = generate_changes(spark, 3000, n_convs=100, max_turns=12, seed=43)
+    for lo, hi in [(0, 1500), (1500, 3000)]:
+        (full.where((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+             .coalesce(1).write.mode("append").parquet(src))
+    root = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    applier = CdcApplier.bootstrap(spark, root, bucket_count=8)
+
+    rejecting = ContractSuite(
+        [Contract("reject_everything", "predicate", predicate_sql="1 = 0")]
+    )
+    q = start_apply_stream(
+        applier, stream_changes(spark, src, 1), ckpt, audit_suite=rejecting
+    )
+    with pytest.raises(Exception, match="failed audit"):
+        q.processAllAvailable()
+    q.stop()
+    assert applier.target.snapshot().summary.get("epoch", -1) == -1
+    assert applier.target.list_staged() == ["epoch-0"]  # kept for inspection
+
+    # operator "fixes the rule": restart from the same checkpoint
+    applier2 = CdcApplier.load(spark, root)
+    q2 = start_apply_stream(
+        applier2, stream_changes(spark, src, 1), ckpt,
+        audit_suite=transcripts_suite(),
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    ok, msg = table_state_matches(
+        applier2.target.read().toPandas(), expected_final_state(src)
+    )
+    assert ok, msg
+    assert applier2.target.list_staged() == []
+
+
 def test_describe_shows_staged(spark, changes_path, tmp_path):
     applier = CdcApplier.bootstrap(spark, str(tmp_path / "lake"), bucket_count=8)
     changes, mid, hi = _halves(spark, changes_path)

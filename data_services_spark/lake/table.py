@@ -1201,6 +1201,12 @@ class LakeTable:
         path keeps the engine's exactly-once contract."""
         man = self.staged_manifest(wap_id)
         staged_schema = T.StructType.fromJson(man["schema"])
+        staged_files = {f for fs in man["new_files"].values() for f in fs}
+        if staged_files & {f for s in self.snapshots() for f in s.all_files()}:
+            # a prior publish committed these files but crashed before
+            # removing the manifest — republish is the manifest removal
+            os.remove(self._staged_path(wap_id))
+            return self.snapshot()
 
         def attempt() -> Snapshot:
             cur = self.snapshot()
@@ -1230,8 +1236,16 @@ class LakeTable:
     def abandon_staged(self, wap_id: str) -> int:
         """WAP reject: delete the staged batch's data files and manifest —
         the batch never existed as far as any snapshot is concerned.
-        Returns the number of data files removed."""
+        Returns the number of data files removed. If any staged file is
+        referenced by a snapshot (a prior publish committed the batch but
+        crashed before removing the manifest), only the stale manifest is
+        removed — abandoning after publish must never delete live data."""
         man = self.staged_manifest(wap_id)
+        live = {f for s in self.snapshots() for f in s.all_files()}
+        staged_files = {f for fs in man["new_files"].values() for f in fs}
+        if staged_files & live:
+            os.remove(self._staged_path(wap_id))
+            return 0
         n = self._remove_staged_data(man["new_files"])
         os.remove(self._staged_path(wap_id))
         return n

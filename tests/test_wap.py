@@ -332,6 +332,38 @@ def test_stream_wap_audit_failure_fails_query_then_recovers(spark, tmp_path):
     assert applier2.target.list_staged() == []
 
 
+def test_publish_crash_before_manifest_removal_is_safe(spark, changes_path, tmp_path):
+    """Crash window: publish commits, then dies before removing the staged
+    manifest. The stale manifest must be harmless — abandon refuses to
+    delete the now-live files (manifest-only removal), and republish is an
+    idempotent no-op, not a duplicate delta layer."""
+    applier = CdcApplier.bootstrap(spark, str(tmp_path / "lake"), bucket_count=8)
+    changes, mid, hi = _halves(spark, changes_path)
+    applier.replay(changes, chunk_size=hi, source_hi=mid)
+    applier.stage_chunk(changes.where(F.col("lsn") > mid), "crashy", hi=hi)
+    man_path = applier.target._staged_path("crashy")
+    saved = open(man_path).read()
+    applier.publish_chunk("crashy")
+
+    # --- crash replayed: the manifest is back on disk after the commit
+    open(man_path, "w").write(saved)
+    assert applier.target.abandon_staged("crashy") == 0  # live data untouched
+    ok, msg = table_state_matches(
+        applier.target.read().toPandas(), expected_final_state(changes_path)
+    )
+    assert ok, msg
+
+    open(man_path, "w").write(saved)
+    snap_before = applier.target.current_snapshot_id()
+    applier.target.publish_staged("crashy")  # idempotent republish
+    assert applier.target.current_snapshot_id() == snap_before
+    assert applier.target.list_staged() == []
+    ok, msg = table_state_matches(
+        applier.target.read().toPandas(), expected_final_state(changes_path)
+    )
+    assert ok, msg
+
+
 def test_describe_shows_staged(spark, changes_path, tmp_path):
     applier = CdcApplier.bootstrap(spark, str(tmp_path / "lake"), bucket_count=8)
     changes, mid, hi = _halves(spark, changes_path)

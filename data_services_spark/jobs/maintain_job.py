@@ -68,6 +68,21 @@ def main(argv: list[str] | None = None) -> int:
                          "'default' = the table's tuned ladder, 'generic' = "
                          "envelope + non-null merge keys only (the relaxed "
                          "re-drive after a rule proves too strict)")
+    ap.add_argument("--list-staged", action="store_true",
+                    help="list staged write-audit-publish batch ids "
+                         "(the operator's first stop after a replay_job "
+                         "--wap-audit halt or a failed streaming audit)")
+    ap.add_argument("--audit-staged", default=None, metavar="WAP_ID",
+                    help="re-run the contract battery over a staged "
+                         "batch's would-be-published state; violations "
+                         "land in the JSON report and flip exit code to 2")
+    ap.add_argument("--publish-staged", default=None, metavar="WAP_ID",
+                    help="make a staged batch visible (metadata-only "
+                         "commit; files + offsets atomically)")
+    ap.add_argument("--abandon-staged", default=None, metavar="WAP_ID",
+                    help="reject a staged batch: remove its files and "
+                         "manifest (its events replay later — offsets "
+                         "never advanced)")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -107,6 +122,31 @@ def main(argv: list[str] | None = None) -> int:
         out = {"table": name, "snapshot_before": table.current_snapshot_id()}
         if args.describe:
             out["describe"] = table.describe()
+        if args.list_staged:
+            out["staged"] = table.list_staged()
+        if args.audit_staged:
+            from data_services_spark.contracts import transcripts_suite
+
+            report = transcripts_suite().run(
+                table.read_staged(args.audit_staged)
+            ).collect()
+            out["staged_audit"] = {
+                "wap_id": args.audit_staged,
+                **{r["check_name"]: int(r["n_violations"]) for r in report},
+            }
+            if any(int(r["n_violations"]) > 0 for r in report):
+                rc = 2
+        if args.publish_staged:
+            snap = table.publish_staged(args.publish_staged)
+            out["published"] = {
+                "wap_id": args.publish_staged,
+                "snapshot_id": snap.snapshot_id,
+            }
+        if args.abandon_staged:
+            out["abandoned"] = {
+                "wap_id": args.abandon_staged,
+                "files_removed": table.abandon_staged(args.abandon_staged),
+            }
         if args.compact:
             snap = table.snapshot()
             targets = [

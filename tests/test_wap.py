@@ -364,6 +364,57 @@ def test_publish_crash_before_manifest_removal_is_safe(spark, changes_path, tmp_
     assert ok, msg
 
 
+def test_maintain_job_wap_runbook(spark, changes_path, tmp_path, capsys):
+    """The operator runbook after an audit halt, entirely through the CLI
+    surface: list the staged batch, re-audit it, abandon it, then re-drive
+    the replay — final state matches the oracle (nothing lost). Also pins
+    publish-staged through the CLI on a fresh stage."""
+    import json
+
+    from data_services_spark.jobs import maintain_job
+
+    applier = CdcApplier.bootstrap(spark, str(tmp_path / "lake"), bucket_count=8)
+    changes, mid, hi = _halves(spark, changes_path)
+    applier.replay(changes, chunk_size=hi, source_hi=mid)
+    applier.stage_chunk(changes.where(F.col("lsn") > mid), "halted-batch", hi=hi)
+    root = str(tmp_path / "lake")
+
+    rc = maintain_job.main(["--root", root, "--list-staged"])
+    assert rc == 0
+    out = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert out[0]["staged"] == ["halted-batch"]
+
+    # the staged batch is actually clean -> CLI audit passes (exit 0)
+    rc = maintain_job.main(["--root", root, "--audit-staged", "halted-batch"])
+    assert rc == 0
+    out = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert all(v == 0 for k, v in out[0]["staged_audit"].items() if k != "wap_id")
+
+    # publish through the CLI; final state = full oracle
+    rc = maintain_job.main(["--root", root, "--publish-staged", "halted-batch"])
+    assert rc == 0
+    ok, msg = table_state_matches(
+        applier.target.read().toPandas(), expected_final_state(changes_path)
+    )
+    assert ok, msg
+
+    # abandon path: stage junk, abandon via CLI, no trace
+    applier.stage_chunk(
+        changes.where(F.col("lsn") > mid)
+        .withColumn("lsn", (F.col("lsn") + F.lit(1_000_000)).cast("long")),
+        "junk",
+    )
+    rc = maintain_job.main(["--root", root, "--abandon-staged", "junk"])
+    assert rc == 0
+    out = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1]["abandoned"]["files_removed"] > 0
+    assert applier.target.list_staged() == []
+    ok, msg = table_state_matches(
+        applier.target.read().toPandas(), expected_final_state(changes_path)
+    )
+    assert ok, msg
+
+
 def test_describe_shows_staged(spark, changes_path, tmp_path):
     applier = CdcApplier.bootstrap(spark, str(tmp_path / "lake"), bucket_count=8)
     changes, mid, hi = _halves(spark, changes_path)

@@ -83,6 +83,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="reject a staged batch: remove its files and "
                          "manifest (its events replay later — offsets "
                          "never advanced)")
+    ap.add_argument("--tag", default=None, metavar="NAME",
+                    help="create an immutable named ref to the CURRENT "
+                         "snapshot (dataset-release handle; tagged "
+                         "snapshots survive --expire-keep until dropped)")
+    ap.add_argument("--drop-tag", default=None, metavar="NAME")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -120,7 +125,13 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.monotonic()
         table = LakeTable(spark, path)
         out = {"table": name, "snapshot_before": table.current_snapshot_id()}
-        if args.describe:
+        if args.tag:
+            out["tagged"] = {"name": args.tag,
+                             "snapshot_id": table.tag(args.tag)}
+        if args.drop_tag:
+            table.drop_tag(args.drop_tag)
+            out["dropped_tag"] = args.drop_tag
+        if args.describe:  # after tag ops so the report reflects them
             out["describe"] = table.describe()
         if args.list_staged:
             out["staged"] = table.list_staged()

@@ -1250,6 +1250,70 @@ class LakeTable:
         os.remove(self._staged_path(wap_id))
         return n
 
+    # ------------------------------------------------------------------ tags
+    # Named snapshot refs (Iceberg tags): a dataset-release workflow's
+    # reproducibility handle — "train run R used tag v3" stays readable no
+    # matter how many commits land after it, because a tagged snapshot is
+    # retained through expire_snapshots until the tag is dropped.
+
+    def _tag_path(self, name: str) -> str:
+        return os.path.join(self._lake, f"tag-{name}.json")
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Create an immutable named ref to a snapshot (default: current).
+        Re-tagging an existing name refuses — drop_tag first (an audit
+        trail should never silently move)."""
+        if not name or name != os.path.basename(name) or name.startswith("."):
+            raise ValueError(f"invalid tag name {name!r}")
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        try:
+            self.snapshot(sid)  # must exist (and not already be expired)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot {sid} does not exist on table {self.path} "
+                f"(expired or never committed) — cannot tag it"
+            ) from None
+        tmp = os.path.join(self._lake, f".tag.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "snapshot_id": sid}, f)
+        try:
+            os.link(tmp, self._tag_path(name))  # O_EXCL claim
+        except FileExistsError:
+            os.remove(tmp)
+            raise ValueError(
+                f"tag {name!r} already exists (snapshot "
+                f"{self.tags()[name]}); drop_tag first"
+            ) from None
+        os.remove(tmp)
+        return sid
+
+    def tags(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for fn in os.listdir(self._lake):
+            if fn.startswith("tag-") and fn.endswith(".json"):
+                with open(os.path.join(self._lake, fn)) as f:
+                    d = json.load(f)
+                out[d["name"]] = int(d["snapshot_id"])
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        try:
+            os.remove(self._tag_path(name))
+        except FileNotFoundError:
+            raise KeyError(
+                f"no tag {name!r} on table {self.path} "
+                f"(tags: {sorted(self.tags())})"
+            ) from None
+
+    def read_tag(self, name: str, **kwargs: Any) -> DataFrame:
+        """Read the table AS OF a named tag (``VERSION AS OF`` by name)."""
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(
+                f"no tag {name!r} on table {self.path} (tags: {sorted(tags)})"
+            )
+        return self.read(snapshot_id=tags[name], **kwargs)
+
     def _remove_staged_data(self, new_files: dict[str, list[str]]) -> int:
         """Remove a staged batch's data files, then their commit dirs
         wholesale (a stage's token dir is exclusively its own, so the
@@ -1637,12 +1701,24 @@ class LakeTable:
         """Drop snapshot manifests older than the last ``keep_last`` and
         physically delete data files no retained snapshot references
         (reference analogue: 15-day tmp-manifest TTL,
-        ``aims_realtime_util.py:1056-1086``)."""
+        ``aims_realtime_util.py:1056-1086``). Snapshots PINNED as the base
+        of a staged WAP batch are retained regardless of age (Iceberg
+        keeps ref'd snapshots): expiring one mid-audit would break
+        ``read_staged`` while the auditor is still deciding. TAGGED
+        snapshots are likewise retained until the tag is dropped — a
+        dataset release stays readable forever."""
         snaps = self.snapshots()
         if len(snaps) <= keep_last:
             return []
-        retained = snaps[-keep_last:]
-        expired = snaps[:-keep_last]
+        pinned = {
+            self.staged_manifest(w)["base_id"] for w in self.list_staged()
+        } | set(self.tags().values())
+        retained = [
+            s for s in snaps[-keep_last:] if s.snapshot_id not in pinned
+        ] + [s for s in snaps if s.snapshot_id in pinned]
+        expired = [
+            s for s in snaps[:-keep_last] if s.snapshot_id not in pinned
+        ]
         live = {f for s in retained for f in s.all_files()}
         removed_ids = []
         for s in expired:
@@ -1689,6 +1765,7 @@ class LakeTable:
             "committed_lsn": snap.summary.get("offsets", {}).get("last_lsn"),
             "batch_id": snap.summary.get("batch_id"),
             "staged_wap_ids": self.list_staged(),
+            "tags": self.tags(),
         }
 
     def remove_orphan_files(self, older_than_sec: float = 86400.0) -> list[str]:

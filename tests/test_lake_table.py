@@ -397,3 +397,34 @@ def test_type_widening_bucket_key_rejected(spark, tmp_table_dir):
     t.append(spark.createDataFrame([(1, "x")], schema))
     with pytest.raises(ValueError, match="rebucket"):
         t.append(spark.createDataFrame([(2**40, "y")], "k bigint, v string"))
+
+
+def test_tags_named_refs(spark, tmp_table_dir):
+    """Snapshot tags: immutable named refs (dataset-release handles) —
+    read_tag resolves by name, re-tagging refuses, tagged snapshots
+    survive aggressive expiry until the tag is dropped."""
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, ["k"], bucket_count=4)
+    t.append(_df(spark, [("a", 1, "x")]))
+    t.tag("release-v1")
+    assert t.tags() == {"release-v1": 1}
+    for step in range(2, 9):
+        t.append(_df(spark, [(f"k{step}", step, "y")]))
+    assert t.read_tag("release-v1").count() == 1  # frozen view by name
+    assert t.read().count() == 8
+
+    with pytest.raises(ValueError, match="already exists"):
+        t.tag("release-v1", snapshot_id=3)  # tags never silently move
+
+    # aggressive expiry: the tagged snapshot is pinned, the rest expire
+    expired = t.expire_snapshots(keep_last=2)
+    assert expired and 1 not in expired
+    assert t.read_tag("release-v1").count() == 1  # still readable
+    assert t.describe()["tags"] == {"release-v1": 1}
+
+    # dropping the tag releases the pin; the next expiry sweeps it
+    t.drop_tag("release-v1")
+    assert 1 in t.expire_snapshots(keep_last=2)
+    with pytest.raises(KeyError):
+        t.read_tag("release-v1")
+    with pytest.raises(ValueError):
+        t.tag("later", snapshot_id=1)  # can't tag an expired snapshot

@@ -415,6 +415,31 @@ def test_maintain_job_wap_runbook(spark, changes_path, tmp_path, capsys):
     assert ok, msg
 
 
+def test_expire_snapshots_retains_staged_base(spark, changes_path, tmp_path):
+    """A staged batch PINS its base snapshot: snapshot expiry keeps it
+    alive so read_staged works mid-audit no matter how many commits land
+    meanwhile; publishing the (by then fully-overlapped) batch is a LWW
+    no-op and the watermark never regresses."""
+    applier = CdcApplier.bootstrap(spark, str(tmp_path / "lake"), bucket_count=8)
+    changes, mid, hi = _halves(spark, changes_path)
+    applier.replay(changes, chunk_size=hi, source_hi=mid)
+    applier.stage_chunk(changes.where(F.col("lsn") > mid), "pinned", hi=hi)
+    base_id = applier.target.staged_manifest("pinned")["base_id"]
+
+    # many more commits, then aggressive expiry that would drop the base
+    applier.replay(changes, chunk_size=(hi - mid) // 5)
+    applier.target.expire_snapshots(keep_last=2)
+    assert applier.target.snapshot(base_id) is not None  # pinned, not expired
+    assert applier.target.read_staged("pinned").count() > 0  # audit still works
+
+    applier.target.publish_staged("pinned")  # fully-overlapped -> LWW no-op
+    assert applier.committed_lsn() == hi
+    ok, msg = table_state_matches(
+        applier.target.read().toPandas(), expected_final_state(changes_path)
+    )
+    assert ok, msg
+
+
 def test_describe_shows_staged(spark, changes_path, tmp_path):
     applier = CdcApplier.bootstrap(spark, str(tmp_path / "lake"), bucket_count=8)
     changes, mid, hi = _halves(spark, changes_path)

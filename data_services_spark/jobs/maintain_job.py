@@ -88,6 +88,11 @@ def main(argv: list[str] | None = None) -> int:
                          "snapshot (dataset-release handle; tagged "
                          "snapshots survive --expire-keep until dropped)")
     ap.add_argument("--drop-tag", default=None, metavar="NAME")
+    ap.add_argument("--rollback-to", type=int, default=None, metavar="SID",
+                    help="roll the table back to snapshot SID as a NEW "
+                         "commit (metadata-only; offsets regress with the "
+                         "state, so the next replay re-applies the "
+                         "rolled-back events)")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -131,6 +136,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.drop_tag:
             table.drop_tag(args.drop_tag)
             out["dropped_tag"] = args.drop_tag
+        if args.rollback_to is not None:
+            snap = table.rollback(args.rollback_to)
+            out["rolled_back"] = {
+                "to": args.rollback_to,
+                "new_snapshot_id": snap.snapshot_id,
+                "committed_lsn": snap.summary.get("offsets", {})
+                                             .get("last_lsn"),
+            }
         if args.describe:  # after tag ops so the report reflects them
             out["describe"] = table.describe()
         if args.list_staged:

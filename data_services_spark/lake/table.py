@@ -1314,6 +1314,65 @@ class LakeTable:
             )
         return self.read(snapshot_id=tags[name], **kwargs)
 
+    # -------------------------------------------------------------- rollback
+
+    def rollback(self, snapshot_id: int) -> Snapshot:
+        """Roll the table back to an earlier snapshot's state as a NEW
+        commit (Iceberg ``rollback_to_snapshot``) — the operator's recovery
+        verb after a bad batch LANDS (the WAP audit gate catches bad
+        batches before publish; rollback un-does one the audit missed).
+
+        Metadata-only: the new snapshot copies the target's entire content
+        (data files, delta layers, tombstones, schema, bucket layout,
+        props, manifest stats), so no data moves and the rolled-back-over
+        commits stay readable via time travel until ``expire_snapshots``
+        sweeps them. The summary — including the resume ``offsets`` — is
+        the TARGET's: the committed watermark regresses deliberately, so
+        the next replay re-applies the rolled-back events (idempotent
+        under LWW; gaps are impossible because the watermark and the
+        state move in the SAME atomic commit, exactly like apply).
+
+        Reference analogue: the manual "remove the bad files and rerun the
+        harvester from the last good date" recovery loop
+        (``lib/python/generate_netcdf_aims.py`` reprocessing paths) — here
+        it is one metadata flip plus the normal resume."""
+        cur = self.current_snapshot_id()
+        if snapshot_id >= cur:
+            raise ValueError(
+                f"rollback target {snapshot_id} is not an ancestor of "
+                f"current snapshot {cur} — rollback only moves backwards"
+            )
+        try:
+            target = self.snapshot(snapshot_id)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot {snapshot_id} has been expired — its data files "
+                f"are gone; earliest retained: "
+                f"{self.snapshots()[0].snapshot_id}"
+            ) from None
+
+        def attempt() -> Snapshot:
+            parent = self.current_snapshot_id()
+            snap = Snapshot(
+                snapshot_id=parent + 1,
+                parent_id=parent,
+                operation="rollback",
+                schema_json=target.schema_json,
+                bucket_count=target.bucket_count,
+                bucket_keys=target.bucket_keys,
+                bucket_files=target.bucket_files,
+                summary={**target.summary,
+                         "rollback_of": parent, "rollback_to": snapshot_id},
+                delta_files=target.delta_files,
+                props=target.props,
+                file_col_stats=target.file_col_stats,
+            )
+            self._write_snapshot(self._lake, snap)
+            self._flip_current(self._lake, snap.snapshot_id)
+            return snap
+
+        return retry_commit(attempt)
+
     def _remove_staged_data(self, new_files: dict[str, list[str]]) -> int:
         """Remove a staged batch's data files, then their commit dirs
         wholesale (a stage's token dir is exclusively its own, so the

@@ -554,6 +554,45 @@ def engine_restart_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "engine_rollback_state",
+    # the visible state after rollback = LWW over ONLY the first half of
+    # the LSN range (the "bad" second batch is rolled back)
+    sql=_engine_lww_oracle(_ROLE_CASE).replace(
+        "FROM events",
+        "FROM events WHERE event_id <= "
+        "(SELECT MAX(event_id) // 2 FROM events)",
+    ),
+    doc="Snapshot rollback through the REAL engine (Iceberg "
+        "rollback_to_snapshot): the full stream is applied in two batches, "
+        "the second batch is declared bad, and rollback() re-points the "
+        "table at the first batch's snapshot as a NEW metadata-only commit "
+        "— no data moves, the bad commit stays time-travelable until "
+        "expiry, and the resume watermark regresses WITH the state in the "
+        "same atomic flip (so the rolled-back events replay later with no "
+        "gaps). Returned state must hash-equal the LWW oracle over only "
+        "the first half of the LSN range: a rollback that leaked any "
+        "second-batch row, tombstone, or delta layer fails the hash. "
+        "tests/test_rollback.py pins the recovery loop (re-replay "
+        "converges), metadata-only-ness, guards, and the maintain_job "
+        "--rollback-to CLI.",
+)
+def engine_rollback_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+
+    scratch = tempfile.mkdtemp(prefix="q_rollback_")
+    stream = _engine_change_stream(spark, sf_dir)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    applier = CdcApplier.bootstrap(spark, scratch, bucket_count=8)
+    applier.replay(stream, chunk_size=hi, source_hi=hi // 2)
+    good = applier.target.current_snapshot_id()
+    applier.replay(stream, chunk_size=hi)  # the "bad" batch lands
+    applier.target.rollback(good)
+    return _materialize_and_clean(applier.target.read(), scratch)
+
+
+@register(
     "engine_changelog_chain",
     # final-state equality over the DATA columns: each hop re-stamps the
     # transport lsn into the consumer's own offset space (by design), so
@@ -3867,6 +3906,7 @@ _DRIVER_PRIORITY = [
     "engine_schema_evolution_state",
     "engine_type_widening_state",
     "engine_restart_final_state",
+    "engine_rollback_state",
     "engine_pruned_time_scan",
     "engine_incremental_agg_view",
     "engine_incremental_minmax_view",

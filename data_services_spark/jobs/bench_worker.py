@@ -229,7 +229,12 @@ def main(argv: list[str] | None = None) -> int:
         # ONE conv_id — replayed twice: default map-side-combined max_by
         # vs the explicit two-phase salted dedup, same input, same cores.
         # Reports throughput for both plus a full-row fingerprint proving
-        # identical final state.
+        # identical final state. Reps are INTERLEAVED across the two
+        # methods (max_by r0, salted r0, max_by r1, ...) — the same
+        # protocol that fixed the lo/hi pair — so a host-contention window
+        # degrades both legs' matching reps instead of silently sinking
+        # one method's entire sample (a best-of-2 max_by leg once measured
+        # 6x slow because both its reps landed in one bad window).
         from pyspark.sql import functions as F
 
         from data_services_spark.cdc.apply import CdcApplier
@@ -245,9 +250,11 @@ def main(argv: list[str] | None = None) -> int:
         chunk_size = max(1, (args.events + args.chunks - 1) // args.chunks)
         out: dict = {"events": args.events, "hot_pct": 50, "n_hot": 1}
         fingerprints = {}
-        for method in ("max_by", "salted"):
-            best = None
-            for rep in range(max(1, args.repeats)):
+        methods = ("max_by", "salted")
+        walls: dict = {m: [] for m in methods}
+        totals: dict = {m: 0 for m in methods}
+        for rep in range(max(1, args.repeats)):
+            for method in methods:
                 workdir = f"{args.workdir}_{method}_r{rep}"
                 shutil.rmtree(workdir, ignore_errors=True)
                 applier = CdcApplier.bootstrap(
@@ -261,9 +268,8 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 wall = time.monotonic() - t0
                 applier.target.compact()
-                total = sum(s.n_events for s in stats)
-                if best is None or wall < best:
-                    best = wall
+                totals[method] = sum(s.n_events for s in stats)
+                if not walls[method] or wall < min(walls[method]):
                     final = applier.target.read()
                     # decimal(38,0) sum: 20M 64-bit hashes overflow a long
                     row = final.agg(
@@ -273,9 +279,13 @@ def main(argv: list[str] | None = None) -> int:
                         ).alias("fp"),
                     ).collect()[0]
                     fingerprints[method] = (row["n"], int(row["fp"]))
+                walls[method].append(round(wall, 3))
                 shutil.rmtree(workdir, ignore_errors=True)
-            out[f"{method}_events_per_sec"] = round(total / best, 1)
-            out[f"{method}_wall_sec"] = round(best, 3)
+        for method in methods:
+            best = min(walls[method])
+            out[f"{method}_events_per_sec"] = round(totals[method] / best, 1)
+            out[f"{method}_wall_sec"] = best
+            out[f"{method}_rep_walls"] = walls[method]
         out["final_state_equal"] = fingerprints["max_by"] == fingerprints["salted"]
         out["table_rows"] = fingerprints["max_by"][0]
         print(json.dumps(out))

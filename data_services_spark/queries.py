@@ -886,6 +886,138 @@ def engine_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(applier.target.read(), scratch)
 
 
+@register(
+    "scd2_transcript_history",
+    sql=f"""
+    WITH changes AS (
+        SELECT event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ts,
+               printf('u%04d', user_id) AS conv_id,
+               CAST(event_id % 37 AS INTEGER) AS turn_idx,
+               {_ROLE_CASE} AS role,
+               props AS text,
+               event_type AS tool
+        FROM events
+    ), w AS (
+        SELECT *,
+               lead(ts) OVER win AS valid_to,
+               lead(op) OVER win AS nxt_op
+        FROM changes
+        WINDOW win AS (PARTITION BY conv_id, turn_idx ORDER BY ts, lsn)
+    )
+    SELECT lsn, conv_id, turn_idx, role, text, tool,
+           ts AS valid_from, valid_to,
+           CASE WHEN nxt_op IS NULL THEN NULL
+                WHEN nxt_op = 'D' THEN 'delete'
+                ELSE 'update' END AS end_reason,
+           (nxt_op IS NULL) AS is_current
+    FROM w WHERE op <> 'D'
+    """,
+    doc="SCD Type-2 dimension history (batch tier): the full event-time "
+        "version chain per transcript key — every update opens a version, "
+        "the key's next event closes it (deletes close without opening), "
+        "exactly one open version per live key. One shuffle on the keys; "
+        "the chain is a single window lead, no self-join "
+        "(operators/scd.py). Reference analogue: the harvest pipelines "
+        "keep only latest state (aims_realtime_util.py:1049-1053); a "
+        "dimension consumer needs the history kept forward.",
+)
+def scd2_transcript_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scd import scd2_history
+
+    return scd2_history(
+        _engine_change_stream(spark, sf_dir), keys=["conv_id", "turn_idx"]
+    )
+
+
+@register(
+    "engine_scd2_history",
+    sql=f"""
+    WITH changes AS (
+        SELECT event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ts,
+               printf('u%04d', user_id) AS conv_id,
+               CAST(event_id % 37 AS INTEGER) AS turn_idx,
+               {_ROLE_CASE} AS role,
+               props AS text,
+               event_type AS tool
+        FROM events
+    ), h AS (SELECT MAX(event_id) // 2 AS h1 FROM events),
+    s1 AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM changes WHERE lsn <= (SELECT h1 FROM h)
+        ) WHERE rn = 1 AND op <> 'D'
+    ),
+    s2 AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM changes
+        ) WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT conv_id, turn_idx, role, text, tool,
+           ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+           CAST(NULL AS VARCHAR) AS end_reason, TRUE AS is_current
+    FROM s2
+    UNION ALL
+    SELECT s1.conv_id, s1.turn_idx, s1.role, s1.text, s1.tool,
+           s1.ts AS valid_from, s2.ts AS valid_to,
+           'update' AS end_reason, FALSE AS is_current
+    FROM s1 JOIN s2 ON s1.conv_id = s2.conv_id AND s1.turn_idx = s2.turn_idx
+    WHERE s1.lsn <> s2.lsn AND s1.ts <> s2.ts
+    UNION ALL
+    SELECT s1.conv_id, s1.turn_idx, s1.role, s1.text, s1.tool,
+           s1.ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+           'delete' AS end_reason, FALSE AS is_current
+    FROM s1 WHERE NOT EXISTS (
+        SELECT 1 FROM s2
+        WHERE s2.conv_id = s1.conv_id AND s2.turn_idx = s1.turn_idx
+    )
+    """,
+    doc="SCD Type-2 maintained INCREMENTALLY from the lake changelog "
+        "(Debezium->dim-table / Iceberg-changelog-consumer recipe): the "
+        "stream applies into the source in two windows; after each, "
+        "Scd2History.refresh() advances the history from "
+        "changes_between(with_before=True) — the before-image carries the "
+        "closing row's entire content, so a refresh is a pure column map "
+        "plus ONE merge-on-read delta append: zero history reads, zero "
+        "joins, O(net-changed keys) per refresh. Semantics are "
+        "state-history (versions = the source table's committed states in "
+        "commit order): the oracle derives the version set from the two "
+        "windows' LWW states — current rows from the final state, "
+        "'update'-closed rows where the winner changed between states "
+        "(zero-duration same-ts successions dropped by design), "
+        "'delete'-closed rows (end time unknowable from a state diff) "
+        "where the key vanished. tests/test_scd2.py pins a 3-window chain "
+        "with deletes, resurrection, and an out-of-order loser against "
+        "time-travel-reconstructed expected chains.",
+)
+def engine_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+    from .operators.scd import Scd2History
+
+    scratch = tempfile.mkdtemp(prefix="q_scd2_")
+    stream = _engine_change_stream(spark, sf_dir)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    applier = CdcApplier.bootstrap(spark, f"{scratch}/src", bucket_count=8)
+    hist = Scd2History.create(
+        spark, f"{scratch}/hist", applier.target, bucket_count=8
+    )
+    applier.replay(stream, chunk_size=hi + 1, source_hi=hi // 2)
+    hist.refresh()
+    applier.replay(stream, chunk_size=hi + 1)
+    hist.refresh()
+    return _materialize_and_clean(hist.read(), scratch)
+
+
 # --------------------------------------------------------------------------
 # Aggregations (SURVEY §2.4)
 # --------------------------------------------------------------------------
@@ -3900,6 +4032,8 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # round-4 additions / entries whose oracle or code changed this round
+    "engine_scd2_history",
+    "scd2_transcript_history",
     "engine_wap_publish",
     "engine_requeue_final_state",
     "engine_rebucket_equality",

@@ -1,0 +1,202 @@
+"""SCD Type-2 history: batch operator + incremental maintainer.
+
+The incremental tier's contract: after any sequence of refreshes, the
+history table equals the version chains derivable from the SOURCE TABLE'S
+committed state sequence (state-history semantics) — verified here by
+reconstructing the expected chains driver-side from time-travel reads of
+every refreshed-at snapshot.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_services_spark.cdc.apply import CdcApplier
+from data_services_spark.cdc.schemas import CHANGES_SCHEMA
+from data_services_spark.operators.scd import Scd2History, scd2_history
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(minute: int) -> dt.datetime:
+    return EPOCH + dt.timedelta(minutes=minute)
+
+
+def _changes(spark, rows):
+    """rows: (lsn, op, minute, conv_id, turn_idx, role, text)"""
+    data = [
+        (lsn, op, _ts(m), cid, ti, role, text, None)
+        for (lsn, op, m, cid, ti, role, text) in rows
+    ]
+    return spark.createDataFrame(data, CHANGES_SCHEMA)
+
+
+# ---------------------------------------------------------------- batch tier
+
+
+def test_batch_scd2_chain(spark):
+    ch = _changes(spark, [
+        (0, "U", 0, "a", 0, "user", "v1"),
+        (1, "U", 5, "a", 0, "user", "v2"),      # closes v1 (update)
+        (2, "D", 9, "a", 0, None, None),          # closes v2 (delete)
+        (3, "U", 12, "a", 0, "user", "v3"),     # resurrect -> current
+        (4, "U", 1, "b", 1, "assistant", "w1"),  # single version, current
+    ])
+    out = scd2_history(ch, keys=["conv_id", "turn_idx"]).orderBy(
+        "conv_id", "valid_from"
+    )
+    rows = [r.asDict() for r in out.collect()]
+    a = [r for r in rows if r["conv_id"] == "a"]
+    assert [r["text"] for r in a] == ["v1", "v2", "v3"]
+    assert a[0]["valid_to"] == _ts(5) and a[0]["end_reason"] == "update"
+    assert a[1]["valid_to"] == _ts(9) and a[1]["end_reason"] == "delete"
+    assert a[2]["valid_to"] is None and a[2]["is_current"]
+    assert not a[0]["is_current"] and not a[1]["is_current"]
+    b = [r for r in rows if r["conv_id"] == "b"]
+    assert len(b) == 1 and b[0]["is_current"] and b[0]["end_reason"] is None
+
+
+# ---------------------------------------------------------- incremental tier
+
+
+def _expected_chains(source, snapshot_ids):
+    """Reconstruct expected version chains from the committed state at each
+    refreshed snapshot (driver-side; test tables are tiny)."""
+    states = []
+    for sid in snapshot_ids:
+        df = source.read(snapshot_id=sid)
+        states.append({
+            (r["conv_id"], r["turn_idx"]): r.asDict() for r in df.collect()
+        })
+    versions = {}  # (key, valid_from) -> row
+    for prev, cur in zip(states, states[1:]):
+        for key, row in cur.items():
+            p = prev.get(key)
+            if p is not None and p["lsn"] != row["lsn"]:
+                # key changed: close the open version (unless zero-duration)
+                if p["ts"] != row["ts"]:
+                    versions[(key, p["ts"])] = dict(
+                        p, valid_to=row["ts"], end_reason="update",
+                        is_current=False,
+                    )
+                else:
+                    versions.pop((key, p["ts"]), None)
+            if p is None or p["lsn"] != row["lsn"]:
+                versions[(key, row["ts"])] = dict(
+                    row, valid_to=None, end_reason=None, is_current=True,
+                )
+        for key, p in prev.items():
+            if key not in cur:
+                versions[(key, p["ts"])] = dict(
+                    p, valid_to=None, end_reason="delete", is_current=False,
+                )
+    out = set()
+    for (key, vf), v in versions.items():
+        out.add((
+            key[0], key[1], v["role"], v["text"], vf, v["valid_to"],
+            v["end_reason"], v["is_current"],
+        ))
+    return out
+
+
+def _hist_rows(hist):
+    return {
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["valid_from"],
+         r["valid_to"], r["end_reason"], r["is_current"])
+        for r in hist.read().collect()
+    }
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    applier = CdcApplier.bootstrap(spark, str(tmp_path / "src"), bucket_count=4)
+    hist = Scd2History.create(
+        spark, str(tmp_path / "hist"), applier.target, bucket_count=4
+    )
+    return applier, hist
+
+
+def test_incremental_matches_state_history(spark, pair):
+    applier, hist = pair
+    stream = _changes(spark, [
+        # key A: updated in every window
+        (0, "U", 0, "a", 0, "user", "a1"),
+        (10, "U", 20, "a", 0, "user", "a2"),
+        (20, "U", 40, "a", 0, "user", "a3"),
+        # key B: created w1, deleted w2
+        (1, "U", 1, "b", 0, "user", "b1"),
+        (11, "D", 21, "b", 0, None, None),
+        # key C: created w1, deleted w2, resurrected w3
+        (2, "U", 2, "c", 0, "user", "c1"),
+        (12, "D", 22, "c", 0, None, None),
+        (21, "U", 42, "c", 0, "assistant", "c2"),
+        # key D: stable from w1 (single current version)
+        (3, "U", 3, "d", 0, "system", "d1"),
+        # key E: appears only in w3
+        (22, "U", 43, "e", 0, "user", "e1"),
+        # key F: LATE event in w3 loses LWW to its w1 state (no version)
+        (4, "U", 4, "f", 0, "user", "f-new"),
+        (23, "U", 1, "f", 0, "user", "f-stale"),
+    ])
+    sids = [applier.target.current_snapshot_id()]
+    for hi in (9, 19, 99):
+        applier.replay(stream, chunk_size=1000, source_hi=hi)
+        res = hist.refresh()
+        assert res["refreshed"]
+        sids.append(applier.target.current_snapshot_id())
+    got = _hist_rows(hist)
+    want = _expected_chains(applier.target, sids)
+    assert got == want
+    # the late w3 event for F produced no version: exactly one F row, current
+    f = [r for r in got if r[0] == "f"]
+    assert len(f) == 1 and f[0][3] == "f-new" and f[0][7] is True
+    # B ends closed-by-delete with unknown end time
+    b = [r for r in got if r[0] == "b"]
+    assert len(b) == 1 and b[0][6] == "delete" and b[0][5] is None
+    # A has three versions, exactly one current
+    a = sorted((r for r in got if r[0] == "a"), key=lambda r: r[4])
+    assert [r[3] for r in a] == ["a1", "a2", "a3"]
+    assert [r[7] for r in a] == [False, False, True]
+
+
+def test_refresh_idempotent_by_watermark(spark, pair):
+    applier, hist = pair
+    stream = _changes(spark, [(0, "U", 0, "a", 0, "user", "a1")])
+    applier.replay(stream, chunk_size=100)
+    assert hist.refresh()["refreshed"]
+    before = hist.table.current_snapshot_id()
+    res = hist.refresh()  # source unmoved -> pure no-op, zero commits
+    assert not res["refreshed"]
+    assert hist.table.current_snapshot_id() == before
+
+
+def test_same_ts_succession_drops_zero_duration_version(spark, pair):
+    applier, hist = pair
+    stream = _changes(spark, [
+        (0, "U", 7, "a", 0, "user", "old"),
+        (10, "U", 7, "a", 0, "user", "new"),   # same ts, higher lsn wins
+    ])
+    applier.replay(stream, chunk_size=100, source_hi=5)
+    hist.refresh()
+    applier.replay(stream, chunk_size=100)
+    hist.refresh()
+    rows = _hist_rows(hist)
+    assert rows == {("a", 0, "user", "new", _ts(7), None, None, True)}
+
+
+def test_current_only_read(spark, pair):
+    applier, hist = pair
+    stream = _changes(spark, [
+        (0, "U", 0, "a", 0, "user", "a1"),
+        (10, "U", 20, "a", 0, "user", "a2"),
+    ])
+    applier.replay(stream, chunk_size=100, source_hi=5)
+    hist.refresh()
+    applier.replay(stream, chunk_size=100)
+    hist.refresh()
+    cur = hist.read(current_only=True).collect()
+    assert len(cur) == 1 and cur[0]["text"] == "a2"
+    assert hist.read().count() == 2

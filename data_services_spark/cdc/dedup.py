@@ -83,3 +83,73 @@ def lww_dedup(
         return final.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in payload_cols])
 
     raise ValueError(f"unknown dedup method: {method}")
+
+
+def partial_update_merge(
+    df: DataFrame,
+    keys: Sequence[str] = tuple(KEY_COLS),
+    order: Sequence[str] = tuple(ORDER_COLS),
+    op_col: str = "op",
+    payload: Sequence[str] | None = None,
+) -> DataFrame:
+    """Partial-update (patch) merge — Debezium sparse updates / the Apache
+    Paimon ``partial-update`` merge-engine semantics, resolved set-at-a-time:
+
+    * ``U`` writes EVERY payload column (a NULL in a U is an explicit
+      reset), and (re)creates the row;
+    * ``P`` writes only its NON-NULL payload columns and never creates a
+      row — a patch to an absent key is dropped;
+    * ``D`` deletes the row; later patches stay dropped until the next U.
+
+    Final state per key: take ``r0`` = the latest U/D event under
+    ``order``. If there is none, or it is a D, the key is absent.
+    Otherwise each payload column carries the value from the latest
+    event at-or-after ``r0`` that WROTE that column; the output
+    ``order`` columns are stamped from ``r0`` itself — the row's
+    identity is its last FULL write, patches ride on top of it (so a
+    later delete with event time between two patches still resolves
+    exactly: liveness compares against the creation, not the patches).
+
+    Physical plan: ONE aggregation, no window, no pre-filter — because a
+    full write (U) writes EVERY column at its own rank, any patch older
+    than the last U loses every per-column ``max`` to it automatically
+    (U-dominance), so the ``r0`` horizon never needs materializing:
+
+    * liveness: ``max`` over ``(rank, op)`` structs of U/D events — the
+      winner IS the r0 event; alive iff its op is U;
+    * column c: ``max`` over ``(rank, value)`` structs of the events
+      that wrote c (U always; P when non-null — a patch cannot write
+      NULL by definition, so no mask column is needed).
+
+    Catalyst plans both as partial aggregation with map-side combine —
+    a hot key's patch storm collapses before the shuffle, same as LWW.
+    """
+    keys = list(keys)
+    order = list(order)
+    if payload is None:
+        payload = [
+            c for c in df.columns
+            if c not in keys and c not in order and c != op_col
+        ]
+    payload = list(payload)
+    rank = _order_struct(order)
+    op = F.col(op_col)
+
+    wrote = {
+        c: (op == "U") | ((op == "P") & F.col(c).isNotNull()) for c in payload
+    }
+    aggs = [
+        F.max(F.when(op.isin("U", "D"),
+                     F.struct(rank.alias("r"), op.alias("o")))).alias("_ud"),
+    ] + [
+        F.max(F.when(wrote[c],
+                     F.struct(rank.alias("r"), F.col(c).alias("v"))))
+        .alias(f"_m_{c}")
+        for c in payload
+    ]
+    merged = df.groupBy(*keys).agg(*aggs).where(F.col("_ud.o") == "U")
+    return merged.select(
+        *keys,
+        *[F.col(f"_m_{c}.v").alias(c) for c in payload],
+        *[F.col(f"_ud.r.{o}").alias(o) for o in order],
+    )

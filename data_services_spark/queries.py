@@ -1018,6 +1018,103 @@ def engine_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(hist.read(), scratch)
 
 
+@register(
+    "partial_update_state",
+    sql=f"""
+    WITH changes AS (
+        SELECT event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'D'
+                    WHEN event_id % 3 = 0 THEN 'P'
+                    ELSE 'U' END AS op,
+               ts,
+               printf('u%04d', user_id) AS conv_id,
+               CAST(event_id % 37 AS INTEGER) AS turn_idx,
+               CASE WHEN event_type = 'error' THEN NULL
+                    WHEN event_id % 3 = 0 AND user_id % 2 = 0 THEN NULL
+                    ELSE {_ROLE_CASE} END AS role,
+               CASE WHEN event_type = 'error' THEN NULL
+                    WHEN event_id % 3 = 0 AND event_id % 5 = 0 THEN NULL
+                    ELSE props END AS text,
+               CASE WHEN event_type = 'error' THEN NULL
+                    ELSE event_type END AS tool
+        FROM events
+    ),
+    r0 AS (
+        SELECT conv_id, turn_idx, ts, lsn, op
+        FROM changes WHERE op IN ('U', 'D')
+        QUALIFY row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) = 1
+    ),
+    alive AS (SELECT * FROM r0 WHERE op = 'U'),
+    applied AS (
+        SELECT c.* FROM changes c
+        JOIN alive a ON c.conv_id = a.conv_id AND c.turn_idx = a.turn_idx
+        WHERE (c.ts, c.lsn) >= (a.ts, a.lsn)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts, lsn) AS rk
+        FROM applied
+    ),
+    merged AS (
+        SELECT conv_id, turn_idx,
+               arg_max(struct_pack(v := role), rk)
+                   FILTER (WHERE op = 'U' OR role IS NOT NULL) AS role_s,
+               arg_max(struct_pack(v := text), rk)
+                   FILTER (WHERE op = 'U' OR text IS NOT NULL) AS text_s,
+               arg_max(struct_pack(v := tool), rk)
+                   FILTER (WHERE op = 'U' OR tool IS NOT NULL) AS tool_s
+        FROM ranked GROUP BY conv_id, turn_idx
+    )
+    SELECT m.conv_id, m.turn_idx, role_s.v AS role, text_s.v AS text,
+           tool_s.v AS tool, a.ts, a.lsn
+    FROM merged m
+    JOIN alive a ON m.conv_id = a.conv_id AND m.turn_idx = a.turn_idx
+    """,
+    doc="Partial-update (patch) merge — Debezium sparse updates / the "
+        "Apache Paimon partial-update merge engine: every third event is a "
+        "patch writing only its non-null columns, full upserts write every "
+        "column (NULL = explicit reset), deletes drop the row and every "
+        "later patch until the next full write; the row's order stamp is "
+        "its last FULL write (patches ride on top). ONE aggregation, no "
+        "window: a full write dominates every older patch per column "
+        "automatically, so the horizon never materializes — each "
+        "column's winner is a plain max over an (order, value) struct "
+        "gated by the wrote-this-column predicate, map-side combinable "
+        "(cdc/dedup.py:partial_update_merge). "
+        "The oracle replays the same fold with QUALIFY + FILTERed "
+        "arg_max over struct-wrapped values (NULL payloads survive "
+        "arg_max's null-skipping).",
+)
+def partial_update_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .cdc.dedup import partial_update_merge
+
+    ev = load(spark, sf_dir, "events")
+    is_err = F.col("event_type") == "error"
+    is_p = F.pmod("event_id", F.lit(3)) == 0
+    null_s = F.lit(None).cast("string")
+    role = (
+        F.when(F.col("event_type") == "signup", "system")
+        .when(F.col("event_type") == "purchase", "assistant")
+        .otherwise("user")
+    )
+    changes = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(is_err, "D").when(is_p, "P").otherwise("U").alias("op"),
+        "ts",
+        F.format_string("u%04d", "user_id").alias("conv_id"),
+        F.pmod("event_id", F.lit(37)).cast("int").alias("turn_idx"),
+        F.when(is_err, null_s)
+        .when(is_p & (F.pmod("user_id", F.lit(2)) == 0), null_s)
+        .otherwise(role).alias("role"),
+        F.when(is_err, null_s)
+        .when(is_p & (F.pmod("event_id", F.lit(5)) == 0), null_s)
+        .otherwise(F.col("props")).alias("text"),
+        F.when(is_err, null_s).otherwise(F.col("event_type")).alias("tool"),
+    )
+    return partial_update_merge(changes, keys=["conv_id", "turn_idx"])
+
+
 # --------------------------------------------------------------------------
 # Aggregations (SURVEY §2.4)
 # --------------------------------------------------------------------------
@@ -4034,6 +4131,7 @@ _DRIVER_PRIORITY = [
     # round-4 additions / entries whose oracle or code changed this round
     "engine_scd2_history",
     "scd2_transcript_history",
+    "partial_update_state",
     "engine_wap_publish",
     "engine_requeue_final_state",
     "engine_rebucket_equality",

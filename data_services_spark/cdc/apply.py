@@ -113,8 +113,26 @@ class CdcApplier:
         props = target.snapshot().props
         self.keys: list[str] = list(props.get("merge_keys", KEY_COLS))
         self.order: list[str] = list(props.get("order_cols", ORDER_COLS))
+        self.merge_engine: str | None = props.get("merge_engine")
+        if self.merge_engine == "partial_update" and mode != "mor":
+            raise ValueError(
+                "partial_update tables apply merge-on-read only: patches "
+                "are per-event rows resolved by the read fold; a "
+                "copy-on-write rewrite would need the same fold inline — "
+                "use mode='mor'"
+            )
         if validator is not None:
             self._reason = validator
+        elif self.merge_engine == "partial_update" and self.keys == KEY_COLS:
+            from .validate import patch_validation_reason
+
+            self._reason = patch_validation_reason
+        elif self.merge_engine == "partial_update":
+            from .validate import generic_validation_reason
+
+            self._reason = lambda df: generic_validation_reason(
+                df, self.keys, patch_ops=True
+            )
         elif self.keys == KEY_COLS:
             from .validate import validation_reason
 
@@ -123,6 +141,65 @@ class CdcApplier:
             from .validate import generic_validation_reason
 
             self._reason = lambda df: generic_validation_reason(df, self.keys)
+
+    def _chunk_rows(self, valid: DataFrame) -> DataFrame:
+        """One chunk's delta rows, still carrying ``op``.
+
+        Default (LWW) tables: the chunk's per-key winners — max_by with
+        map-side combine, O(changed keys) rows.
+
+        Partial-update tables: per-key winner of the FULL writes (U/D —
+        later patches must not collapse into them) plus every surviving
+        patch as its OWN row, each stamping the hidden ``_wr`` per-column
+        writer-rank struct the read fold resolves by. Patches at or below
+        the chunk's own latest full write are dropped here (they can never
+        win a per-column max against it — U-dominance); cross-chunk
+        ordering needs no care at all, the fold is arrival-order free."""
+        from pyspark.sql import Window
+
+        if self.merge_engine != "partial_update":
+            return lww_dedup(
+                valid,
+                keys=self.keys,
+                order=self.order,
+                method=self.dedup_method,
+                salt_buckets=self.salt_buckets,
+            )
+        norm = valid.withColumn(
+            "op", F.when(F.col("op") == "I", "U").otherwise(F.col("op"))
+        )
+        rank = F.struct(*[F.col(o) for o in self.order])
+        w = Window.partitionBy(*self.keys)
+        tagged = norm.withColumn(
+            "_udr", F.max(F.when(F.col("op").isin("U", "D"), rank)).over(w)
+        )
+        ud = lww_dedup(
+            tagged.where(F.col("op").isin("U", "D")).drop("_udr"),
+            keys=self.keys, order=self.order, method="max_by",
+        )
+        pats = (
+            tagged.where(
+                (F.col("op") == "P")
+                & (F.col("_udr").isNull() | (rank > F.col("_udr")))
+            )
+            .drop("_udr")
+            .dropDuplicates(self.keys + self.order)  # exact redeliveries
+        )
+        rows = ud.unionByName(pats)
+        snap_schema = self.target.snapshot().schema
+        payload = [
+            f.name for f in snap_schema.fields
+            if f.name not in self.keys and f.name not in self.order
+            and f.name not in ("op", "_wr") and f.name in rows.columns
+        ]
+        wrote_rank = F.struct(*[F.col(o) for o in self.order])
+        wr = F.struct(*[
+            F.when(F.col("op") == "U", wrote_rank)
+            .when((F.col("op") == "P") & F.col(c).isNotNull(), wrote_rank)
+            .alias(c)
+            for c in payload
+        ])
+        return rows.withColumn("_wr", wr)
 
     def _split(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
         """(valid, quarantined-with-reason) under this applier's validator."""
@@ -468,19 +545,15 @@ class CdcApplier:
         )
         valid = tagged.where(F.col("_reason").isNull()).drop("_reason")
 
-        # LWW winners of this chunk, one row per key, still carrying op
-        # ('D' winners are delete tombstones). max_by plans as a partial
-        # aggregation — duplicate deliveries collapse map-side, before the
-        # shuffle. The winners — including tombstones — append as a delta
-        # layer: per chunk the table gains O(changed keys) bytes, not
-        # O(affected-bucket size) (Iceberg v2 equality-delete design).
-        winners = lww_dedup(
-            valid,
-            keys=self.keys,
-            order=self.order,
-            method=self.dedup_method,
-            salt_buckets=self.salt_buckets,
-        )
+        # Delta rows of this chunk, still carrying op ('D' winners are
+        # delete tombstones). LWW tables: per-key winners via max_by
+        # (map-side combine — duplicate deliveries collapse before the
+        # shuffle); partial-update tables: full-write winners plus
+        # per-event patch rows with writer ranks. Either way the rows —
+        # including tombstones — append as a delta layer: per chunk the
+        # table gains O(changed rows) bytes, not O(affected-bucket size)
+        # (Iceberg v2 equality-delete design).
+        winners = self._chunk_rows(valid)
         existing = [f.name for f in snap.schema.fields]
         cols = (
             [c for c in existing if c in winners.columns]
@@ -499,7 +572,11 @@ class CdcApplier:
         # its repartition — one full-payload shuffle per chunk, not two
         commit_dir, new_files = self.target.write_delta_files(
             winners, sort_cols=self.keys,
-            pre_partitioned=self.target.co_partitioned_write_ok(self.keys),
+            # patch chunks union two branches (full-write winners + patch
+            # rows) — partitioning is not the single clean aggregate
+            # output the fast path asserts
+            pre_partitioned=(self.merge_engine != "partial_update"
+                             and self.target.co_partitioned_write_ok(self.keys)),
         )
         m = obs.get  # populated by the write action above
         tp = _phase("winners_write", t0)
@@ -792,13 +869,7 @@ class CdcApplier:
             F.max(F.when(ok, F.col("lsn"))).alias("max_lsn"),
         )
         valid = tagged.where(F.col("_reason").isNull()).drop("_reason")
-        winners = lww_dedup(
-            valid,
-            keys=self.keys,
-            order=self.order,
-            method=self.dedup_method,
-            salt_buckets=self.salt_buckets,
-        )
+        winners = self._chunk_rows(valid)
         existing = [f.name for f in snap.schema.fields]
         cols = (
             [c for c in existing if c in winners.columns]
@@ -810,7 +881,11 @@ class CdcApplier:
         )
         _, new_files = self.target.write_delta_files(
             winners, sort_cols=self.keys,
-            pre_partitioned=self.target.co_partitioned_write_ok(self.keys),
+            # patch chunks union two branches (full-write winners + patch
+            # rows) — partitioning is not the single clean aggregate
+            # output the fast path asserts
+            pre_partitioned=(self.merge_engine != "partial_update"
+                             and self.target.co_partitioned_write_ok(self.keys)),
         )
         m = obs.get  # populated by the write action above
         if hi is None and m["max_lsn"] is not None:

@@ -59,15 +59,43 @@ def monotonicity_violations(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def generic_validation_reason(df: DataFrame, keys: list[str]) -> F.Column:
+def generic_validation_reason(
+    df: DataFrame, keys: list[str], patch_ops: bool = False
+) -> F.Column:
     """Schema-agnostic gate ladder for custom-keyed pipelines (the
     transcripts ladder above stays the tuned default): envelope sanity
-    (lsn/op/ts) + non-null merge keys."""
+    (lsn/op/ts) + non-null merge keys. ``patch_ops`` additionally admits
+    'P' (partial-update tables)."""
     gates = [
         ("null_lsn", F.col("lsn").isNull()),
-        ("bad_op", ~F.col("op").isin(OPS)),
+        ("bad_op", ~F.col("op").isin(OPS + ["P"] if patch_ops else OPS)),
         ("null_ts", F.col("ts").isNull()),
     ] + [(f"null_{k}", F.col(k).isNull()) for k in keys]
+    expr = F.lit(None).cast("string")
+    for name, cond in reversed(gates):
+        expr = F.when(cond, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def patch_validation_reason(df: DataFrame) -> F.Column:
+    """The transcripts ladder for partial-update streams: 'P' is a legal
+    op, and the payload gates that assume a full row apply only to full
+    writes — a patch legitimately carries NULL for every column it does
+    not touch (a patch cannot write NULL by definition)."""
+    full = F.col("op").isin("I", "U")
+    gates = [
+        ("null_lsn", F.col("lsn").isNull()),
+        ("bad_op", ~F.col("op").isin(OPS + ["P"])),
+        ("null_ts", F.col("ts").isNull()),
+        ("null_conv_id", F.col("conv_id").isNull()),
+        ("null_turn_idx", F.col("turn_idx").isNull()),
+        ("negative_turn_idx", F.col("turn_idx") < 0),
+        ("bad_role", full & ~F.coalesce(F.col("role"), F.lit("")).isin(ROLES)),
+        # a PATCHED role must still be a legal role
+        ("bad_role", (F.col("op") == "P") & F.col("role").isNotNull()
+         & ~F.col("role").isin(ROLES)),
+        ("oversize_text", F.coalesce(F.length("text"), F.lit(0)) > MAX_TEXT_CHARS),
+    ]
     expr = F.lit(None).cast("string")
     for name, cond in reversed(gates):
         expr = F.when(cond, F.lit(name)).otherwise(expr)

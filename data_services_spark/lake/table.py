@@ -225,6 +225,113 @@ def _bucket_expr(
     return F.pmod(h, F.lit(bucket_count)).cast("int")
 
 
+# ---------------------------------------------------------------------------
+# Partial-update (patch) merge engine — hidden per-column writer ranks.
+#
+# merge_engine='partial_update' tables resolve each payload column to the
+# value of its LATEST WRITER (full writes write every column, patches only
+# their non-null ones), so exact out-of-order resolution must remember when
+# each column was last written — per row, per column. That state rides a
+# hidden struct column ``_wr`` (one (order_cols...) rank struct per payload
+# column; NULL = this row never wrote the column), populated by the apply
+# path and preserved through compaction. Paimon's per-field sequence
+# groups are the same answer to the same problem.
+# ---------------------------------------------------------------------------
+
+_WR_COL = "_wr"
+
+
+def _patch_payload_cols(
+    schema: T.StructType, keys: list[str], order: list[str]
+) -> list[str]:
+    return [
+        f.name for f in schema.fields
+        if f.name not in keys and f.name not in order
+        and f.name not in ("op", _WR_COL)
+    ]
+
+
+def _with_writer_ranks(
+    schema: T.StructType, props: dict, bucket_keys: list[str] | None = None
+) -> T.StructType:
+    if any(f.name == _WR_COL for f in schema.fields):
+        return schema
+    keys = list(props.get("merge_keys") or bucket_keys or [])
+    order = list(props.get("order_cols") or [])
+    if not order:
+        raise ValueError("merge_engine='partial_update' requires order_cols")
+    types = {f.name: f.dataType for f in schema.fields}
+    missing = [c for c in keys + order if c not in types]
+    if missing:
+        raise ValueError(f"partial_update key/order columns not in schema: {missing}")
+    payload = _patch_payload_cols(schema, keys, order)
+    if not payload:
+        raise ValueError("partial_update table has no payload columns to patch")
+    rank_t = T.StructType([T.StructField(o, types[o], True) for o in order])
+    wr = T.StructType([T.StructField(c, rank_t, True) for c in payload])
+    return T.StructType(list(schema.fields) + [T.StructField(_WR_COL, wr, True)])
+
+
+def _patch_fold(
+    union: DataFrame,
+    keys: list[str],
+    order: list[str],
+    payload: list[str],
+    keep_tombstones: bool,
+) -> DataFrame:
+    """Resolve a partial-update table's base+delta union to one row per
+    key — the engine-side twin of ``cdc.dedup.partial_update_merge``, with
+    per-column writer ranks read from ``_wr`` instead of each row's own
+    rank (a compacted row's columns may have been written at different
+    times). ONE aggregation, no window: a full write stamps every
+    column's ``_wr`` at its own rank, so older patches lose every
+    per-column max automatically and the latest-U/D horizon never
+    materializes. Output rows carry the folded ``_wr`` (so compaction
+    preserves exactness) and are stamped at the creating full write.
+
+    With ``keep_tombstones`` (the compaction read), rows that must stay
+    individually resolvable pass through unfolded: patches newer than a
+    death, and patches whose key has no full write yet — a LATE full
+    write (older event time, later arrival) can still land, and those
+    patches must then apply on top of it."""
+    rank = F.struct(*[F.col(o) for o in order])
+    op = F.coalesce(F.col("op"), F.lit("U"))
+    aggs = [
+        F.max(F.when(op.isin("U", "D"),
+                     F.struct(rank.alias("r"), op.alias("o")))).alias("_ud"),
+    ] + [
+        F.max(F.when(F.col(f"{_WR_COL}.{c}").isNotNull(),
+                     F.struct(F.col(f"{_WR_COL}.{c}").alias("r"),
+                              F.col(c).alias("v")))).alias(f"_m_{c}")
+        for c in payload
+    ]
+    g = union.groupBy(*keys).agg(*aggs)
+    alive = F.col("_ud.o") == "U"
+    folded = g.where(F.col("_ud").isNotNull()).select(
+        *keys,
+        *[F.when(alive, F.col(f"_m_{c}.v")).alias(c) for c in payload],
+        *[F.col(f"_ud.r.{o}").alias(o) for o in order],
+        F.col("_ud.o").alias("op"),
+        F.when(
+            alive,
+            F.struct(*[F.col(f"_m_{c}.r").alias(c) for c in payload]),
+        ).alias(_WR_COL),
+    )
+    if not keep_tombstones:
+        return folded.where(F.col("op") != "D")
+    horizon = g.select(*keys, "_ud")
+    pats = (
+        union.where(F.col("op") == "P")
+        .join(horizon, keys, "inner")
+        .where(
+            F.col("_ud").isNull()
+            | ((F.col("_ud.o") == "D") & (rank > F.col("_ud.r")))
+        )
+        .select(*folded.columns)
+    )
+    return folded.unionByName(pats)
+
+
 class LakeTable:
     """A snapshot-versioned, hash-bucketed parquet table."""
 
@@ -252,6 +359,12 @@ class LakeTable:
         os.makedirs(lake, exist_ok=True)
         if os.path.exists(os.path.join(lake, _CURRENT)):
             raise FileExistsError(f"table already exists at {path}")
+        if (props or {}).get("merge_engine") == "partial_update":
+            # per-column writer ranks ride a hidden struct column: exact
+            # out-of-order patch resolution must know WHEN each column was
+            # last written, and that survives compaction only if stored
+            # (Paimon's per-field sequence groups solve the same problem)
+            schema = _with_writer_ranks(schema, props or {}, bucket_keys)
         snap = Snapshot(
             snapshot_id=0,
             parent_id=None,
@@ -404,7 +517,14 @@ class LakeTable:
             base_tomb = False
         else:
             base_tomb = bool(snap.props.get("base_tombstones")) or keep_tombstones
+        patch = snap.props.get("merge_engine") == "partial_update"
         live = F.col("op").isNull() | (F.col("op") != "D")
+        if patch:
+            # compacted patch-table buckets may hold pass-through patch
+            # rows (post-death / pre-creation patches kept individually
+            # resolvable) — never user-visible rows
+            live = live & (F.col("op").isNull() | (F.col("op") != "P"))
+            base_tomb = True  # clean scans must see 'op' to drop them
         # split the plan: buckets WITHOUT deltas take a plain scan; the LWW
         # merge aggregation runs only over delta-bearing buckets, so its
         # shuffle is proportional to the un-compacted slice of the table,
@@ -433,7 +553,11 @@ class LakeTable:
         delta_schema = T.StructType(
             snap.schema.fields + [T.StructField("op", T.StringType(), True)]
         )
-        out_cols = cols + ["op"] if keep_tombstones else cols
+        # the hidden per-column writer-rank struct is internal state: it
+        # surfaces only on tombstone-aware reads (compaction/WAP rewrite
+        # paths), never to users
+        vis_cols = [c for c in cols if c != _WR_COL]
+        out_cols = cols + ["op"] if keep_tombstones else vis_cols
 
         def _finish(df: DataFrame) -> DataFrame:
             if not prune:
@@ -479,14 +603,19 @@ class LakeTable:
             raise ValueError(
                 f"table {self.path} has delta layers but no order_cols prop"
             )
-        payload = F.struct(*[F.col(c) for c in union.columns if c not in keys])
-        rank = F.struct(*[F.col(c) for c in order])
-        winners = (
-            union.groupBy(*keys)
-            .agg(F.max_by(payload, rank).alias("_w"))
-            .select(*keys, "_w.*")
-        )
-        merged = winners if keep_tombstones else winners.where(live)
+        if patch:
+            pcols = _patch_payload_cols(snap.schema, keys, list(order))
+            merged = _patch_fold(union, list(keys), list(order), pcols,
+                                 keep_tombstones)
+        else:
+            payload = F.struct(*[F.col(c) for c in union.columns if c not in keys])
+            rank = F.struct(*[F.col(c) for c in order])
+            winners = (
+                union.groupBy(*keys)
+                .agg(F.max_by(payload, rank).alias("_w"))
+                .select(*keys, "_w.*")
+            )
+            merged = winners if keep_tombstones else winners.where(live)
         merged = merged.select(out_cols)
         return _finish(merged if clean is None else clean.unionByName(merged))
 
@@ -583,7 +712,7 @@ class LakeTable:
         has_ts = any(f.name == "ts" for f in s_to.schema.fields)
         payload = [
             f.name for f in s_to.schema.fields
-            if f.name not in keys and f.name != "ts"
+            if f.name not in keys and f.name not in ("ts", _WR_COL)
         ]
         # ts rides the before-image list too: a retraction-side consumer
         # (incremental MIN/MAX over event time) needs the PREVIOUS ts of
@@ -1459,6 +1588,12 @@ class LakeTable:
         Arrow end to end, the only driver round-trip is the O(buckets)
         result list (same discipline as the LSN offset collect in
         change_capture)."""
+        if snap.props.get("merge_engine") == "partial_update":
+            raise ValueError(
+                f"table {self.path} is a partial_update table: the local "
+                "Arrow rewrite folds plain LWW only — compact via "
+                "strategy='shuffle' (compact() routes there automatically)"
+            )
         keys = snap.props.get("merge_keys", snap.bucket_keys)
         order = snap.props.get("order_cols")
         if not order:
@@ -1631,6 +1766,11 @@ class LakeTable:
             targets = [b for b in targets if b in want]
         if not targets:
             return snap
+        if snap.props.get("merge_engine") == "partial_update":
+            # the per-bucket Arrow rewrite folds plain LWW; the patch fold
+            # (per-column writer ranks + pass-through rows) lives in the
+            # read path, which the shuffle strategy compacts through
+            strategy = "shuffle"
         token = f"c{snap.snapshot_id + 1}-{uuid.uuid4().hex[:12]}"
         if strategy == "local":
             new_files, n_tombs = self._rewrite_buckets_local(snap, targets, token)

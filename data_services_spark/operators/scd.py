@@ -137,7 +137,7 @@ class Scd2History:
         src_types = {f.name: f.dataType for f in ssnap.schema.fields}
         payload = [
             f.name for f in ssnap.schema.fields
-            if f.name not in keys and f.name not in ("ts", "lsn", "op")
+            if f.name not in keys and f.name not in ("ts", "lsn", "op", "_wr")
         ]
         fields = [T.StructField(k, src_types[k], True) for k in keys]
         fields += [T.StructField(c, src_types[c], True) for c in payload]

@@ -1071,7 +1071,7 @@ def engine_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM merged m
     JOIN alive a ON m.conv_id = a.conv_id AND m.turn_idx = a.turn_idx
     """,
-    doc="Partial-update (patch) merge — Debezium sparse updates / the "
+    doc="Partial-update (patch) merge OPERATOR — Debezium sparse updates / the "
         "Apache Paimon partial-update merge engine: every third event is a "
         "patch writing only its non-null columns, full upserts write every "
         "column (NULL = explicit reset), deletes drop the row and every "
@@ -1089,6 +1089,14 @@ def engine_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 def partial_update_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .cdc.dedup import partial_update_merge
 
+    return partial_update_merge(
+        _patch_change_stream(spark, sf_dir), keys=["conv_id", "turn_idx"]
+    )
+
+
+def _patch_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic U/P/D patch stream derived from `events`: every third
+    event is a patch with a value-dependent written-column pattern."""
     ev = load(spark, sf_dir, "events")
     is_err = F.col("event_type") == "error"
     is_p = F.pmod("event_id", F.lit(3)) == 0
@@ -1098,10 +1106,10 @@ def partial_update_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "purchase", "assistant")
         .otherwise("user")
     )
-    changes = ev.select(
+    return ev.select(
         F.col("event_id").alias("lsn"),
         F.when(is_err, "D").when(is_p, "P").otherwise("U").alias("op"),
-        "ts",
+        F.col("ts").cast("timestamp").alias("ts"),
         F.format_string("u%04d", "user_id").alias("conv_id"),
         F.pmod("event_id", F.lit(37)).cast("int").alias("turn_idx"),
         F.when(is_err, null_s)
@@ -1112,7 +1120,47 @@ def partial_update_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("props")).alias("text"),
         F.when(is_err, null_s).otherwise(F.col("event_type")).alias("tool"),
     )
-    return partial_update_merge(changes, keys=["conv_id", "turn_idx"])
+
+
+@register(
+    "engine_patch_apply",
+    # same final state as the standalone operator: the fold is
+    # arrival-order free, so chunking + compaction must not change it
+    sql=None,  # filled in right below from partial_update_state's oracle
+    doc="Partial-update merge through the REAL engine "
+        "(merge_engine='partial_update'): the patch stream replays in two "
+        "windows through CdcApplier into a patch table — full-write "
+        "winners plus per-event patch rows carrying the hidden _wr "
+        "per-column writer-rank struct — with a full compaction between "
+        "the windows, so window 2's patches and deletes resolve against "
+        "COMPACTED rows purely via the preserved writer ranks. The "
+        "DuckDB oracle is the operator entry's one-shot fold "
+        "(partial_update_state): equality proves chunk boundaries, "
+        "compaction and arrival order are invisible to patch semantics. "
+        "tests/test_patch_table.py pins the out-of-order edges "
+        "(late patch after compaction, late delete, post-death patches, "
+        "orphan patches before a late creation).",
+)
+def engine_patch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+
+    scratch = tempfile.mkdtemp(prefix="q_patch_")
+    stream = _patch_change_stream(spark, sf_dir)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    applier = CdcApplier.bootstrap(
+        spark, scratch, bucket_count=8,
+        target_props={"merge_engine": "partial_update"},
+    )
+    applier.replay(stream, chunk_size=hi + 1, source_hi=hi // 2)
+    applier.target.compact()
+    applier.replay(stream, chunk_size=hi + 1)
+    return _materialize_and_clean(applier.target.read(), scratch)
+
+
+# the engine entry's oracle IS the operator entry's: one-shot fold
+REGISTRY["engine_patch_apply"].sql = REGISTRY["partial_update_state"].sql
 
 
 # --------------------------------------------------------------------------
@@ -4132,6 +4180,7 @@ _DRIVER_PRIORITY = [
     "engine_scd2_history",
     "scd2_transcript_history",
     "partial_update_state",
+    "engine_patch_apply",
     "engine_wap_publish",
     "engine_requeue_final_state",
     "engine_rebucket_equality",

@@ -1,0 +1,198 @@
+"""Partial-update merge ENGINE path: patch tables through CdcApplier +
+LakeTable (merge_engine='partial_update').
+
+Delta layers keep each surviving patch as its own row; the read fold
+resolves per-column winners via the hidden ``_wr`` writer-rank struct,
+which compaction preserves — so late (out-of-order) patches, deletes and
+creations stay exact across chunk and compaction boundaries. The
+standalone ``partial_update_merge`` operator is the semantic oracle."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_services_spark.cdc.apply import CdcApplier
+from data_services_spark.cdc.dedup import partial_update_merge
+from data_services_spark.cdc.schemas import CHANGES_SCHEMA
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(minute: int) -> dt.datetime:
+    return EPOCH + dt.timedelta(minutes=minute)
+
+
+def _stream(spark, rows):
+    """rows: (lsn, op, minute, conv_id, turn_idx, role, text, tool)"""
+    data = [
+        (lsn, op, _ts(m), cid, ti, role, text, tool)
+        for (lsn, op, m, cid, ti, role, text, tool) in rows
+    ]
+    return spark.createDataFrame(data, CHANGES_SCHEMA)
+
+
+def _patch_applier(spark, tmp_path, bucket_count=4):
+    return CdcApplier.bootstrap(
+        spark, str(tmp_path / "lake"), bucket_count=bucket_count,
+        target_props={"merge_engine": "partial_update"},
+    )
+
+
+def _rows(df):
+    return {
+        (r["conv_id"], r["turn_idx"]):
+            (r["role"], r["text"], r["tool"], r["ts"], r["lsn"])
+        for r in df.collect()
+    }
+
+
+def test_wr_column_hidden_from_reads(spark, tmp_path):
+    applier = _patch_applier(spark, tmp_path)
+    assert "_wr" in [f.name for f in applier.target.snapshot().schema.fields]
+    applier.replay(
+        _stream(spark, [(0, "U", 0, "a", 0, "user", "t", "x")]),
+        chunk_size=100,
+    )
+    assert "_wr" not in applier.target.read().columns
+
+
+def test_patch_apply_matches_operator(spark, tmp_path):
+    rows = [
+        (0, "U", 0, "a", 0, "user", "a1", "x"),
+        (1, "P", 5, "a", 0, None, "a2", None),       # patch text
+        (2, "P", 9, "a", 0, "assistant", None, None),  # patch role
+        (3, "U", 1, "b", 0, "user", "b1", "y"),
+        (4, "D", 6, "b", 0, None, None, None),
+        (5, "P", 8, "b", 0, "user", "late", None),     # patch after death
+        (6, "U", 2, "c", 0, "system", None, None),
+        (7, "P", 4, "c", 0, None, "c-text", "tool"),
+        (8, "U", 7, "c", 0, "user", None, "z"),        # full write resets text
+        (9, "P", 3, "d", 0, "user", "orphan", None),   # no U ever
+    ]
+    stream = _stream(spark, rows)
+    applier = _patch_applier(spark, tmp_path)
+    # three chunks by lsn, exercising cross-chunk resolution
+    applier.replay(stream, chunk_size=4)
+    got = _rows(applier.target.read())
+    want = _rows(partial_update_merge(stream, keys=["conv_id", "turn_idx"]))
+    assert got == want
+    assert ("b", 0) not in got and ("d", 0) not in got
+    assert got[("a", 0)] == ("assistant", "a2", "x", _ts(0), 0)
+    assert got[("c", 0)] == ("user", None, "z", _ts(7), 8)
+
+
+def test_late_patch_after_compaction_applies_per_column(spark, tmp_path):
+    applier = _patch_applier(spark, tmp_path)
+    applier.replay(_stream(spark, [
+        (0, "U", 10, "a", 0, "user", "T10", "X10"),
+        (1, "P", 30, "a", 0, None, "T30", None),
+    ]), chunk_size=100)
+    applier.target.compact()
+    assert not applier.target.snapshot().delta_buckets()
+    # a late patch with event time BETWEEN creation and the folded patch:
+    # tool (written at 10) must take it, text (written at 30) must not
+    applier.replay(_stream(spark, [
+        (2, "P", 20, "a", 0, None, "T20", "X20"),
+    ]), chunk_size=100)
+    got = _rows(applier.target.read())
+    assert got[("a", 0)] == ("user", "T30", "X20", _ts(10), 0)
+
+
+def test_late_delete_kills_patched_row(spark, tmp_path):
+    applier = _patch_applier(spark, tmp_path)
+    applier.replay(_stream(spark, [
+        (0, "U", 10, "a", 0, "user", "t", "x"),
+        (1, "P", 30, "a", 0, None, "t30", None),
+    ]), chunk_size=100)
+    applier.target.compact()
+    # delete with event time AFTER creation: row dies even though a patch
+    # with newer event time exists (the row's identity is its full write)
+    applier.replay(_stream(spark, [
+        (2, "D", 20, "a", 0, None, None, None),
+    ]), chunk_size=100)
+    assert _rows(applier.target.read()) == {}
+
+
+def test_postdeath_patch_survives_compaction_until_recreation(spark, tmp_path):
+    applier = _patch_applier(spark, tmp_path)
+    applier.replay(_stream(spark, [
+        (0, "U", 5, "a", 0, "user", "t5", "x5"),
+        (1, "D", 20, "a", 0, None, None, None),
+        (2, "P", 30, "a", 0, None, "t30", None),   # patch after death
+    ]), chunk_size=100)
+    applier.target.compact()
+    assert _rows(applier.target.read()) == {}
+    # recreation between the death and the patch: the kept-through-
+    # compaction patch must now apply on top of it
+    applier.replay(_stream(spark, [
+        (3, "U", 25, "a", 0, "system", "t25", "x25"),
+    ]), chunk_size=100)
+    got = _rows(applier.target.read())
+    assert got[("a", 0)] == ("system", "t30", "x25", _ts(25), 3)
+
+
+def test_orphan_patch_waits_for_late_creation(spark, tmp_path):
+    applier = _patch_applier(spark, tmp_path)
+    applier.replay(_stream(spark, [
+        (0, "P", 30, "a", 0, None, "patched", None),
+    ]), chunk_size=100)
+    assert _rows(applier.target.read()) == {}
+    applier.target.compact()  # orphan patch must survive the rewrite
+    applier.replay(_stream(spark, [
+        (1, "U", 10, "a", 0, "user", "t10", "x10"),
+    ]), chunk_size=100)
+    got = _rows(applier.target.read())
+    assert got[("a", 0)] == ("user", "patched", "x10", _ts(10), 1)
+
+
+def test_patch_validation_gates(spark, tmp_path):
+    applier = _patch_applier(spark, tmp_path)
+    stats = applier.replay(_stream(spark, [
+        (0, "U", 0, "a", 0, "user", "t", "x"),
+        (1, "P", 5, "a", 0, None, "ok-patch", None),     # valid: nulls fine
+        (2, "P", 6, "a", 0, "robot", None, None),        # patched role invalid
+        (3, "X", 7, "a", 0, "user", "t", "x"),           # bad op
+        (4, "U", 8, "b", 0, None, "t", "x"),             # full write needs role
+    ]), chunk_size=100)
+    assert sum(s.n_quarantined for s in stats) == 3
+    got = _rows(applier.target.read())
+    assert got[("a", 0)][1] == "ok-patch" and got[("a", 0)][0] == "user"
+    assert ("b", 0) not in got
+
+
+def test_duplicate_patch_redelivery_is_noop(spark, tmp_path):
+    applier = _patch_applier(spark, tmp_path)
+    stream = _stream(spark, [
+        (0, "U", 0, "a", 0, "user", "t", "x"),
+        (1, "P", 5, "a", 0, None, "p1", None),
+    ])
+    applier.replay(stream, chunk_size=100)
+    before = _rows(applier.target.read())
+    # force a re-apply of the same events under a fresh chunk window
+    applier.apply_chunk(stream, lo=-1, hi=None, batch_id=99)
+    assert _rows(applier.target.read()) == before
+
+
+def test_changes_between_on_patch_table(spark, tmp_path):
+    applier = _patch_applier(spark, tmp_path)
+    applier.replay(_stream(spark, [
+        (0, "U", 0, "a", 0, "user", "t0", "x"),
+    ]), chunk_size=100)
+    s1 = applier.target.current_snapshot_id()
+    applier.replay(_stream(spark, [
+        (1, "P", 5, "a", 0, None, "t5", None),
+    ]), chunk_size=100)
+    ch = applier.target.changes_between(s1).collect()
+    assert len(ch) == 1 and ch[0]["op"] == "U" and ch[0]["text"] == "t5"
+    assert "_wr" not in applier.target.changes_between(s1).columns
+
+
+def test_cow_mode_refused(spark, tmp_path):
+    with pytest.raises(ValueError, match="merge-on-read only"):
+        CdcApplier.bootstrap(
+            spark, str(tmp_path / "lake"), bucket_count=4, mode="cow",
+            target_props={"merge_engine": "partial_update"},
+        )

@@ -15,6 +15,11 @@ A cron cadence of ``view_job --refresh`` after each ``replay_job`` window
 is the engine's materialized reporting mart: always one changelog window
 behind the source at most, never a full recompute.
 
+``--kind scd2`` maintains a :class:`~data_services_spark.operators.scd.
+Scd2History` dimension-history table instead — same create/refresh verbs,
+same watermark discipline; each refresh maps the changelog's before-images
+straight to closing+opening version rows (zero history reads, zero joins).
+
 Run::
 
   spark-submit --py-files dist/data_services_spark.zip \\
@@ -24,6 +29,9 @@ Run::
   # ... later, after each ingest window:
   spark-submit ... view_job.py --root /lake/views/per_role \\
     --source /lake/transcripts --refresh
+  # SCD2 dimension history over the same changelog:
+  spark-submit ... view_job.py --root /lake/views/history \\
+    --source /lake/transcripts --kind scd2 --create
 
 Prints one JSON line per run (created/refreshed, groups touched, groups
 recomputed for the MIN/MAX fallback, source + view snapshot ids).
@@ -50,6 +58,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated SUM columns (create)")
     ap.add_argument("--minmax-cols", default="",
                     help="comma-separated MIN/MAX columns (create)")
+    ap.add_argument("--kind", choices=["agg", "scd2"], default="agg",
+                    help="agg = IncrementalAggView (default); scd2 = "
+                         "Scd2History dimension-history table")
     ap.add_argument("--bucket-count", type=int, default=8)
     ap.add_argument("--cpus", type=int, default=8)
     args = ap.parse_args(argv)
@@ -65,7 +76,20 @@ def main(argv: list[str] | None = None) -> int:
     source = LakeTable(spark, args.source)
     out: dict = {"root": args.root, "source": args.source}
 
-    if args.create:
+    if args.kind == "scd2":
+        from data_services_spark.operators.scd import Scd2History
+
+        if args.group_cols or args.sum_cols or args.minmax_cols:
+            ap.error("--kind scd2 takes no column args: keys and payload "
+                     "derive from the source table's own merge keys/schema")
+        if args.create:
+            view = Scd2History.create(
+                spark, args.root, source, bucket_count=args.bucket_count
+            )
+            out["created"] = True
+        else:
+            view = Scd2History.load(spark, args.root, source)
+    elif args.create:
         groups = [c for c in args.group_cols.split(",") if c]
         if not groups:
             ap.error("--create needs --group-cols")

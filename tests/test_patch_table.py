@@ -196,3 +196,41 @@ def test_cow_mode_refused(spark, tmp_path):
             spark, str(tmp_path / "lake"), bucket_count=4, mode="cow",
             target_props={"merge_engine": "partial_update"},
         )
+
+
+def test_streaming_patch_ingest(spark, tmp_path):
+    """Micro-batched patch ingest: the streaming path goes through the same
+    apply_chunk -> _chunk_rows machinery, so a patch stream consumed file
+    by file converges to the one-shot operator fold."""
+    from data_services_spark.streaming.stream_apply import (
+        start_apply_stream,
+        stream_changes,
+    )
+
+    rows = [
+        (0, "U", 0, "a", 0, "user", "a1", "x"),
+        (1, "U", 1, "b", 0, "user", "b1", "y"),
+        (2, "P", 5, "a", 0, None, "a-patch", None),
+        (3, "D", 6, "b", 0, None, None, None),
+        (4, "P", 9, "a", 0, "assistant", None, None),
+        (5, "U", 8, "b", 0, "system", "b2", None),   # recreate after delete
+    ]
+    src = str(tmp_path / "src")
+    full = _stream(spark, rows)
+    for lo, hi in ((0, 2), (2, 4), (4, 6)):  # three micro-batch files
+        from pyspark.sql import functions as F2
+        (full.where((F2.col("lsn") >= lo) & (F2.col("lsn") < hi))
+             .coalesce(1).write.mode("append").parquet(src))
+    applier = _patch_applier(spark, tmp_path)
+    q = start_apply_stream(
+        applier,
+        stream_changes(spark, src, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = _rows(applier.target.read())
+    want = _rows(partial_update_merge(full, keys=["conv_id", "turn_idx"]))
+    assert got == want
+    assert got[("a", 0)][:3] == ("assistant", "a-patch", "x")
+    assert got[("b", 0)][:3] == ("system", "b2", None)

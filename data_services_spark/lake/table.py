@@ -1869,6 +1869,32 @@ class LakeTable:
         if not targets:
             return snap
         token = f"c{snap.snapshot_id + 1}-{uuid.uuid4().hex[:12]}"
+        if snap.props.get("merge_engine") == "partial_update":
+            # patch tables GC through the read fold (the Arrow rewrite is
+            # plain-LWW only): drop D winners at/under the horizon, KEEP
+            # the pass-through post-death patches — they are NEWER than
+            # the declared horizon, so a legitimate later re-creation must
+            # still pick them up (the tombstone guarded only the already-
+            # impossible pre-delete events).
+            ts_col = snap.props["order_cols"][0]
+            merged = self.read(buckets=targets, keep_tombstones=True)
+            dead = F.col("op") == "D"
+            if older_than is not None:
+                dead = dead & (F.col(ts_col) < F.lit(older_than))
+            kept = merged.where(~dead | F.col("op").isNull())
+            new_files = self._write_data_files(
+                self._with_bucket(kept), token,
+                sort_cols=list(snap.props.get("merge_keys", snap.bucket_keys)),
+            )
+            for b in targets:
+                new_files.setdefault(str(b), [])
+            return self._commit(
+                "expire_tombstones", new_files, {}, snap.schema,
+                snap.summary if summary is None else summary,
+                snap.snapshot_id, delta_files={},
+                # residual newer-than-horizon tombstones may remain
+                props_update={"base_tombstones": older_than is not None},
+            )
         new_files, n_kept = self._rewrite_buckets_local(
             snap, targets, token,
             keep_tombstones=older_than is not None,

@@ -234,3 +234,52 @@ def test_streaming_patch_ingest(spark, tmp_path):
     assert got == want
     assert got[("a", 0)][:3] == ("assistant", "a-patch", "x")
     assert got[("b", 0)][:3] == ("system", "b2", None)
+
+
+def test_patch_expire_tombstones_keeps_postdeath_patches(spark, tmp_path):
+    applier = _patch_applier(spark, tmp_path)
+    applier.replay(_stream(spark, [
+        (0, "U", 5, "a", 0, "user", "t5", "x5"),
+        (1, "D", 20, "a", 0, None, None, None),
+        (2, "P", 30, "a", 0, None, "t30", None),
+        (3, "U", 2, "b", 0, "user", "live", "y"),
+    ]), chunk_size=100)
+    applier.target.compact()
+    snap = applier.target.expire_tombstones(None)
+    assert snap.operation == "expire_tombstones"
+    got = _rows(applier.target.read())
+    assert ("a", 0) not in got and got[("b", 0)][1] == "live"
+    # the post-death patch is NEWER than the declared horizon: a later
+    # legitimate re-creation must still pick it up
+    applier.replay(_stream(spark, [
+        (4, "U", 25, "a", 0, "system", "t25", "x25"),
+    ]), chunk_size=100)
+    got = _rows(applier.target.read())
+    assert got[("a", 0)] == ("system", "t30", "x25", _ts(25), 4)
+
+
+def test_patch_rebucket_preserves_state_and_ranks(spark, tmp_path):
+    applier = _patch_applier(spark, tmp_path)
+    applier.replay(_stream(spark, [
+        (0, "U", 10, "a", 0, "user", "T10", "X10"),
+        (1, "P", 30, "a", 0, None, "T30", None),
+        (2, "U", 1, "b", 0, "user", "b1", "y"),
+        (3, "D", 6, "b", 0, None, None, None),
+        (4, "P", 9, "b", 0, None, "late", None),   # post-death pass-through
+    ]), chunk_size=100)
+    before = _rows(applier.target.read())
+    applier.target.rebucket(8)
+    assert _rows(applier.target.read()) == before
+    # per-column ranks survive the rebucket rewrite: a late patch between
+    # creation and the folded patch must still resolve per column
+    applier.replay(_stream(spark, [
+        (5, "P", 20, "a", 0, None, "T20", "X20"),
+    ]), chunk_size=100)
+    got = _rows(applier.target.read())
+    assert got[("a", 0)] == ("user", "T30", "X20", _ts(10), 0)
+    # ...and the post-death patch survived into the new layout too
+    applier.replay(_stream(spark, [
+        (6, "U", 8, "b", 0, "system", "b2", None),
+    ]), chunk_size=100)
+    got = _rows(applier.target.read())
+    assert got[("b", 0)] == ("system", "late", None, _ts(8), 6)

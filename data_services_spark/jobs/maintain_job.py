@@ -34,6 +34,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="only compact buckets with at least this many delta layers")
     ap.add_argument("--expire-keep", type=int, default=0,
                     help="expire all but the last N snapshots (0 = don't expire)")
+    ap.add_argument("--rewrite-clustered", default=None, metavar="COLS",
+                    help="comma-separated columns: z-order clustered "
+                         "rewrite (Iceberg rewrite_data_files zorder / "
+                         "Delta OPTIMIZE ZORDER BY) — multi-column file "
+                         "skipping for reads")
+    ap.add_argument("--files-per-bucket", type=int, default=8,
+                    help="z-prefix band files per bucket for "
+                         "--rewrite-clustered (default 8)")
     ap.add_argument("--rebucket", type=int, default=0,
                     help="re-hash the table into this many buckets "
                          "(partition evolution; 0 = don't)")
@@ -184,6 +192,16 @@ def main(argv: list[str] | None = None) -> int:
             before = table.bucket_count
             table.rebucket(args.rebucket)
             out["rebucket"] = {"from": before, "to": args.rebucket}
+        if args.rewrite_clustered:
+            cols = [c for c in args.rewrite_clustered.split(",") if c]
+            snap = table.rewrite_clustered(
+                cols, files_per_bucket=args.files_per_bucket
+            )
+            out["rewrite_clustered"] = {
+                "cluster_by": cols,
+                "files": sum(len(fs) for fs in snap.bucket_files.values()),
+                "snapshot_id": snap.snapshot_id,
+            }
         if args.expire_tombstones or args.expire_tombstones_before:
             horizon = None
             if args.expire_tombstones_before:

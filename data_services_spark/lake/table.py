@@ -780,6 +780,10 @@ class LakeTable:
         if sort_cols:
             writer = writer.sortWithinPartitions("bucket", *sort_cols)
         writer.write.mode("error").partitionBy("bucket").parquet(commit_abs)
+        return self._list_commit_files(commit_rel, commit_abs)
+
+    @staticmethod
+    def _list_commit_files(commit_rel: str, commit_abs: str) -> dict[str, list[str]]:
         out: dict[str, list[str]] = {}
         if os.path.exists(commit_abs):
             for entry in os.listdir(commit_abs):
@@ -962,6 +966,134 @@ class LakeTable:
             expected_parent=snap.snapshot_id, delta_files={},
             bucket_count=new_bucket_count,
             props_update={"base_tombstones": True} if may_have_tombs else None,
+        )
+
+    def rewrite_clustered(
+        self,
+        cluster_by: list[str],
+        files_per_bucket: int = 8,
+        bits: int = 16,
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Z-order clustered rewrite — Iceberg ``rewrite_data_files``
+        sort-order zorder / Delta ``OPTIMIZE ZORDER BY`` analogue.
+
+        Each bucket's rows are rewritten ordered by the Morton (bit-
+        interleaved) code of the ``cluster_by`` columns and range-split
+        into ~``files_per_bucket`` files on the code's prefix, so the
+        per-file min/max bounds the manifest already keeps become TIGHT on
+        EVERY cluster column at once: a point or range predicate on any of
+        them prunes most files of every bucket it visits — driver-side,
+        before the scan (``read(prune=...)``). Hash bucketing answers key
+        lookups; z-clustering answers the secondary-dimension scans
+        (time windows, per-entity ranges) hash order scatters.
+
+        Mechanics: one tiny driver agg takes each column's min/max, rows
+        rank-scale into ``2^bits`` bins, bits interleave into one long
+        (pure column expressions, whole-stage codegen — no UDF), and ONE
+        shuffle on (bucket, z-prefix band) clusters the write; file sizes
+        follow the data's z-density (Iceberg's binning behaves the same).
+        MOR deltas are folded in (tombstones kept — the rewrite must not
+        weaken delete memory); cluster columns join ``stats_cols`` so the
+        commit harvests their bounds for the new files. Columns must be
+        numeric, timestamp, or date. Run as read-optimizing maintenance
+        on the compaction cadence."""
+        snap = self.snapshot()
+        if not cluster_by:
+            raise ValueError("cluster_by needs at least one column")
+        if bits * len(cluster_by) > 63:
+            raise ValueError(
+                f"{len(cluster_by)} columns x {bits} bits exceeds a long; "
+                "lower bits (e.g. 16 bits supports up to 3 columns)"
+            )
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        missing = [c for c in cluster_by if c not in types]
+        if missing:
+            raise ValueError(f"cluster columns not in schema: {missing}")
+        for c in cluster_by:
+            if not isinstance(types[c], (
+                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.FloatType, T.DoubleType, T.DecimalType,
+                T.TimestampType, T.DateType,
+            )):
+                raise ValueError(
+                    f"cluster column {c} has type {types[c]}: z-ordering "
+                    "rank-scales values, so only numeric/timestamp/date "
+                    "columns cluster"
+                )
+        owns_op = any(f.name == "op" for f in snap.schema.fields)
+        merged = self.read(keep_tombstones=not owns_op)
+
+        def _num(c: str) -> F.Column:
+            col = F.col(c)
+            if isinstance(types[c], T.DateType):
+                col = col.cast("timestamp")
+            return col.cast("double")
+
+        row = merged.agg(*[
+            x for c in cluster_by
+            for x in (F.min(_num(c)).alias(f"lo_{c}"), F.max(_num(c)).alias(f"hi_{c}"))
+        ]).first()
+        k, top = len(cluster_by), (1 << bits) - 1
+        z = F.lit(0).cast("long")
+        for i, c in enumerate(cluster_by):
+            lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+            if lo is None or hi is None or hi == lo:
+                n = F.lit(0).cast("long")
+            else:
+                n = F.least(
+                    F.lit(top).cast("long"),
+                    F.greatest(
+                        F.lit(0).cast("long"),
+                        ((_num(c) - F.lit(lo)) / F.lit(hi - lo) * top).cast("long"),
+                    ),
+                )
+            n = F.coalesce(n, F.lit(0).cast("long"))  # NULL values sort first
+            for j in range(bits):
+                z = z.bitwiseOR(
+                    F.shiftleft(F.shiftright(n, j).bitwiseAND(F.lit(1)), j * k + i)
+                )
+        band_bits = max(1, (files_per_bucket - 1).bit_length())
+        band = F.shiftright(z, max(0, bits * k - band_bits))
+        bucketed = (
+            merged.withColumn(
+                "bucket",
+                _bucket_expr(snap.bucket_keys, snap.bucket_count, snap.bucket_fn),
+            )
+            .withColumn("_z", z)
+            .withColumn("_zb", band)
+        )
+        token = f"c{snap.snapshot_id + 1}-zorder-{uuid.uuid4().hex[:12]}"
+        commit_rel = os.path.join(_DATA_DIR, token)
+        commit_abs = os.path.join(self.path, commit_rel)
+        writer = (
+            bucketed.repartition(
+                snap.bucket_count * (1 << band_bits), F.col("bucket"), F.col("_zb")
+            )
+            .sortWithinPartitions("bucket", "_zb", "_z")
+            .drop("_z", "_zb")  # projection: intra-partition order survives
+        )
+        writer.write.mode("error").partitionBy("bucket").parquet(commit_abs)
+        files = self._list_commit_files(commit_rel, commit_abs)
+        out = dict(summary or {})
+        for key in ("offsets", "epoch", "batch_id"):
+            if key in snap.summary and key not in out:
+                out[key] = snap.summary[key]
+        may_have_tombs = bool(snap.props.get("base_tombstones")) or bool(
+            snap.delta_files
+        )
+        stats_cols = sorted(
+            set(snap.props.get("stats_cols") or []) | set(cluster_by)
+        )
+        props_update: dict[str, Any] = {
+            "stats_cols": stats_cols, "cluster_by": list(cluster_by),
+        }
+        if may_have_tombs:
+            props_update["base_tombstones"] = True
+        return self._commit(
+            "rewrite_clustered", files, {}, snap.schema, out,
+            expected_parent=snap.snapshot_id, delta_files={},
+            props_update=props_update,
         )
 
     def append(

@@ -1163,6 +1163,66 @@ def engine_patch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["engine_patch_apply"].sql = REGISTRY["partial_update_state"].sql
 
 
+@register(
+    "engine_zorder_scan",
+    sql=f"""
+    WITH changes AS (
+        SELECT event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ts,
+               printf('u%04d', user_id) AS conv_id,
+               CAST(event_id % 37 AS INTEGER) AS turn_idx,
+               {_ROLE_CASE} AS role,
+               props AS text,
+               event_type AS tool
+        FROM events
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM changes
+    ), final AS (
+        SELECT conv_id, turn_idx, role, text, tool, ts, lsn
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT * FROM final
+    WHERE ts >= (SELECT min(ts) FROM final)
+      AND ts <= (SELECT min(ts) + INTERVAL 10 DAY FROM final)
+      AND turn_idx BETWEEN 5 AND 20
+    """,
+    doc="Z-order clustered rewrite through the REAL engine "
+        "(rewrite_clustered — Iceberg rewrite_data_files zorder / Delta "
+        "OPTIMIZE ZORDER BY): after replay, each bucket's rows rewrite in "
+        "Morton order of (ts, turn_idx) and range-split into z-prefix "
+        "band files, so the manifest's per-file bounds are tight on BOTH "
+        "dimensions and a two-dimensional window read "
+        "(read(prune={ts, turn_idx})) skips most files driver-side "
+        "before the scan. The oracle filters the full LWW state in SQL — "
+        "equality proves pruning is an optimization, never a semantic. "
+        "tests/test_zorder.py pins the skip ratio (a 2-D window on the "
+        "key-ordered layout opens 100% of files, under 50% on the z "
+        "layout), tombstone durability through the rewrite, and offset "
+        "carry-forward.",
+)
+def engine_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+
+    scratch = tempfile.mkdtemp(prefix="q_zorder_")
+    stream = _engine_change_stream(spark, sf_dir)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    applier = CdcApplier.bootstrap(spark, scratch, bucket_count=8)
+    applier.replay(stream, chunk_size=max(1, (hi + 1) // 2 + 1))
+    applier.target.rewrite_clustered(["ts", "turn_idx"], files_per_bucket=8)
+    lo_ts = applier.target.read().agg(F.min("ts")).collect()[0][0]
+    out = applier.target.read(prune={
+        "ts": (lo_ts, lo_ts + _dt.timedelta(days=10)),
+        "turn_idx": (5, 20),
+    })
+    return _materialize_and_clean(out, scratch)
+
+
 # --------------------------------------------------------------------------
 # Aggregations (SURVEY §2.4)
 # --------------------------------------------------------------------------
@@ -4181,6 +4241,7 @@ _DRIVER_PRIORITY = [
     "scd2_transcript_history",
     "partial_update_state",
     "engine_patch_apply",
+    "engine_zorder_scan",
     "engine_wap_publish",
     "engine_requeue_final_state",
     "engine_rebucket_equality",

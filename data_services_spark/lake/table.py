@@ -902,6 +902,42 @@ class LakeTable:
             "bucket", _bucket_expr(snap.bucket_keys, snap.bucket_count, snap.bucket_fn)
         )
 
+    def _stamp_writer_ranks(self, df: DataFrame) -> DataFrame:
+        """Partial-update tables: rows arriving WITHOUT per-column writer
+        ranks get them stamped here. Rows with no ``op`` (bulk
+        append/overwrite) and full writes (op I/U) wrote every column at
+        their own rank; patch rows (op P) wrote only their non-null
+        columns; deletes wrote nothing. Without the stamp the read fold
+        would see every column as never-written and the rows would
+        surface all-NULL — a silent-loss trap."""
+        snap = self.snapshot()
+        if snap.props.get("merge_engine") != "partial_update" or _WR_COL in df.columns:
+            return df
+        keys = snap.props.get("merge_keys", snap.bucket_keys)
+        order = list(snap.props["order_cols"])
+        missing = [o for o in order if o not in df.columns]
+        if missing:
+            raise ValueError(
+                f"partial_update write needs order columns {missing} "
+                "to stamp per-column writer ranks"
+            )
+        rank = F.struct(*[F.col(o) for o in order])
+        payload = _patch_payload_cols(snap.schema, list(keys), order)
+        if "op" in df.columns:
+            full = F.col("op").isin("I", "U") | F.col("op").isNull()
+            fields = [
+                F.when(full, rank)
+                .when((F.col("op") == "P") & F.col(c).isNotNull(), rank)
+                .alias(c)
+                for c in payload
+            ]
+        else:
+            fields = [rank.alias(c) for c in payload]
+        wr_type = next(
+            f.dataType for f in snap.schema.fields if f.name == _WR_COL
+        )
+        return df.withColumn(_WR_COL, F.struct(*fields).cast(wr_type))
+
     def overwrite(
         self,
         df: DataFrame,
@@ -909,6 +945,7 @@ class LakeTable:
         sort_cols: list[str] | None = None,
     ) -> Snapshot:
         """Full-table rewrite (bootstrap / compaction target)."""
+        df = self._stamp_writer_ranks(df)
         token = f"c{self.current_snapshot_id() + 1}-{uuid.uuid4().hex[:12]}"
         files = self._write_data_files(self._with_bucket(df), token, sort_cols)
         return self._commit("overwrite", files, {}, df.schema, summary or {}, delta_files={})
@@ -1108,6 +1145,7 @@ class LakeTable:
         data files are written ONCE; each attempt re-reads the current
         snapshot and re-derives the carried-forward file map before the
         optimistic commit (Iceberg's append-conflict resolution)."""
+        df = self._stamp_writer_ranks(df)
         token = f"c{self.current_snapshot_id() + 1}-{uuid.uuid4().hex[:12]}"
         new_files = self._write_data_files(self._with_bucket(df), token, sort_cols)
 
@@ -1295,6 +1333,7 @@ class LakeTable:
         Base files are untouched; ``read`` resolves, ``compact`` amortises.
         This is the Iceberg v2 equality-delete write path: per batch the
         table gains O(changed keys) bytes, not O(bucket size)."""
+        df = self._stamp_writer_ranks(df)
         _, new_files = self.write_delta_files(df, sort_cols)
         return self.commit_delta(new_files, df.schema, summary, expected_parent)
 

@@ -283,3 +283,37 @@ def test_patch_rebucket_preserves_state_and_ranks(spark, tmp_path):
     ]), chunk_size=100)
     got = _rows(applier.target.read())
     assert got[("b", 0)] == ("system", "late", None, _ts(8), 6)
+
+
+def test_bulk_append_and_delta_stamp_writer_ranks(spark, tmp_path):
+    """A bulk load (no op) or a raw delta append (with op) that arrives
+    without _wr gets writer ranks stamped — otherwise every column would
+    read as never-written and the rows would surface all-NULL."""
+    from pyspark.sql import types as T2
+
+    from data_services_spark.lake.table import LakeTable
+
+    schema = T2.StructType([
+        T2.StructField("k", T2.StringType(), False),
+        T2.StructField("a", T2.StringType(), True),
+        T2.StructField("b", T2.StringType(), True),
+        T2.StructField("ts", T2.TimestampType(), True),
+        T2.StructField("lsn", T2.LongType(), True),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, ["k"], 4,
+        props={"merge_keys": ["k"], "order_cols": ["ts", "lsn"],
+               "merge_engine": "partial_update"},
+    )
+    t.append(spark.createDataFrame(
+        [("x", "a0", "b0", _ts(0), 0)], schema))
+    got = {r["k"]: (r["a"], r["b"]) for r in t.read().collect()}
+    assert got == {"x": ("a0", "b0")}   # bulk rows surface fully
+    # raw delta patch without _wr: only the non-null column applies
+    patch = spark.createDataFrame(
+        [("x", None, "b1", _ts(5), 1, "P")],
+        T2.StructType(schema.fields + [T2.StructField("op", T2.StringType(), True)]),
+    )
+    t.append_delta(patch)
+    got = {r["k"]: (r["a"], r["b"]) for r in t.read().collect()}
+    assert got == {"x": ("a0", "b1")}

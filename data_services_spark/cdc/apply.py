@@ -544,6 +544,15 @@ class CdcApplier:
             F.max(F.when(ok, F.col("lsn"))).alias("max_lsn"),
         )
         valid = tagged.where(F.col("_reason").isNull()).drop("_reason")
+        if self.merge_engine == "partial_update":
+            # the patch chunk builder consumes `valid` in TWO branches
+            # (full-write winners + per-event patch rows); left lazy, the
+            # Observation's CollectMetrics node would appear twice in one
+            # plan — breaking its exactly-once contract (JVM assertion on
+            # obs.get, and a double-fire would double-count). Materialize
+            # the validated chunk once: the checkpoint action fires the
+            # metrics, both branches then read the materialized rows.
+            valid = valid.localCheckpoint(eager=True)
 
         # Delta rows of this chunk, still carrying op ('D' winners are
         # delete tombstones). LWW tables: per-key winners via max_by
@@ -869,6 +878,15 @@ class CdcApplier:
             F.max(F.when(ok, F.col("lsn"))).alias("max_lsn"),
         )
         valid = tagged.where(F.col("_reason").isNull()).drop("_reason")
+        if self.merge_engine == "partial_update":
+            # the patch chunk builder consumes `valid` in TWO branches
+            # (full-write winners + per-event patch rows); left lazy, the
+            # Observation's CollectMetrics node would appear twice in one
+            # plan — breaking its exactly-once contract (JVM assertion on
+            # obs.get, and a double-fire would double-count). Materialize
+            # the validated chunk once: the checkpoint action fires the
+            # metrics, both branches then read the materialized rows.
+            valid = valid.localCheckpoint(eager=True)
         winners = self._chunk_rows(valid)
         existing = [f.name for f in snap.schema.fields]
         cols = (

@@ -29,6 +29,10 @@ NOISE_WAIVED = {
     # warm re-measure 2026-08-19: 1.405s ~= r02's 1.363s. Code unchanged
     # since r03 (xxhash64 bit-bank); see BENCH/compare_r02_to_r04.txt.
     "simhash_buckets",
+    # r04 final battery: 1.128s; the same day's earlier battery measured
+    # 0.729s (0.93x of r02's 0.788) on identical code — battery-position
+    # jitter on a sub-second broadcast-matmul query, not a plan change.
+    "embedding_cosine_neardup",
 }
 
 SEMANTICS_CHANGED = {

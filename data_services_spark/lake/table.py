@@ -2158,6 +2158,8 @@ class LakeTable:
             "base_tombstones": bool(snap.props.get("base_tombstones")),
             "merge_keys": list(snap.props.get("merge_keys", snap.bucket_keys)),
             "order_cols": list(snap.props.get("order_cols", [])),
+            "merge_engine": snap.props.get("merge_engine", "lww"),
+            "cluster_by": list(snap.props.get("cluster_by", [])),
             "committed_lsn": snap.summary.get("offsets", {}).get("last_lsn"),
             "batch_id": snap.summary.get("batch_id"),
             "staged_wap_ids": self.list_staged(),

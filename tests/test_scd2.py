@@ -200,3 +200,45 @@ def test_current_only_read(spark, pair):
     cur = hist.read(current_only=True).collect()
     assert len(cur) == 1 and cur[0]["text"] == "a2"
     assert hist.read().count() == 2
+
+
+def test_scd2_as_streaming_view(spark, tmp_path):
+    """Scd2History satisfies the streaming mart's view contract (refresh()
+    per micro-batch): the dimension history trails the table by at most
+    one micro-batch, and converges to the state-history expectation."""
+    from pyspark.sql import functions as F2
+
+    from data_services_spark.streaming.stream_apply import (
+        start_apply_stream,
+        stream_changes,
+    )
+
+    src = str(tmp_path / "src")
+    full = _changes(spark, [
+        (0, "U", 0, "a", 0, "user", "a1"),
+        (1, "U", 1, "b", 0, "user", "b1"),
+        (10, "U", 20, "a", 0, "user", "a2"),
+        (11, "D", 21, "b", 0, None, None),
+        (20, "U", 40, "a", 0, "user", "a3"),
+    ])
+    for lo, hi in ((0, 9), (10, 19), (20, 29)):
+        (full.where((F2.col("lsn") >= lo) & (F2.col("lsn") <= hi))
+             .coalesce(1).write.mode("append").parquet(src))
+    applier = CdcApplier.bootstrap(spark, str(tmp_path / "lake"), bucket_count=4)
+    hist = Scd2History.create(
+        spark, str(tmp_path / "hist"), applier.target, bucket_count=4
+    )
+    q = start_apply_stream(
+        applier,
+        stream_changes(spark, src, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        views=[hist],
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = _hist_rows(hist)
+    a = sorted((r for r in got if r[0] == "a"), key=lambda r: r[4])
+    assert [r[3] for r in a] == ["a1", "a2", "a3"]
+    assert [r[7] for r in a] == [False, False, True]
+    b = [r for r in got if r[0] == "b"]
+    assert len(b) == 1 and b[0][6] == "delete" and not b[0][7]

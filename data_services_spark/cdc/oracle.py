@@ -92,3 +92,75 @@ def per_turn_text_md5(df: pd.DataFrame) -> pd.Series:
         ).hexdigest(),
         axis=1,
     )
+
+
+# patch streams additionally admit op 'P'; full-row gates apply to full
+# writes only, but a PATCHED role must still be a legal role
+_PATCH_VALID_PRED = f"""
+    lsn IS NOT NULL
+    AND op IN ('I','U','D','P')
+    AND ts IS NOT NULL
+    AND conv_id IS NOT NULL
+    AND turn_idx IS NOT NULL
+    AND turn_idx >= 0
+    AND (op IN ('D','P') OR coalesce(role,'') IN ('user','assistant','system','tool'))
+    AND (op <> 'P' OR role IS NULL OR role IN ('user','assistant','system','tool'))
+    AND coalesce(length(text), 0) <= {MAX_TEXT_CHARS}
+"""
+
+
+def expected_patch_state(
+    changes_parquet: str,
+    hi_lsn: int | None = None,
+) -> pd.DataFrame:
+    """Partial-update fold of the (validated) patch stream, entirely in
+    DuckDB — the independent oracle for ``merge_engine='partial_update'``
+    tables. Horizon formulation: per key, ``r0`` = the latest full write
+    or delete under (ts, lsn); dead if D or absent; else each column takes
+    the latest at-or-after-``r0`` writer (full writes write every column,
+    patches their non-null ones) and the row stamps ``r0``."""
+    import os
+
+    if os.path.isdir(changes_parquet):
+        changes_parquet = os.path.join(changes_parquet, "*.parquet")
+    hi = "" if hi_lsn is None else f"AND lsn <= {hi_lsn}"
+    sql = f"""
+    WITH valid AS (
+        SELECT * REPLACE (CASE WHEN op = 'I' THEN 'U' ELSE op END AS op)
+        FROM read_parquet('{changes_parquet}', union_by_name=true)
+        WHERE {_PATCH_VALID_PRED} {hi}
+    ),
+    r0 AS (
+        SELECT conv_id, turn_idx, ts, lsn, op
+        FROM valid WHERE op IN ('U', 'D')
+        QUALIFY row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) = 1
+    ),
+    alive AS (SELECT * FROM r0 WHERE op = 'U'),
+    applied AS (
+        SELECT c.* FROM valid c
+        JOIN alive a ON c.conv_id = a.conv_id AND c.turn_idx = a.turn_idx
+        WHERE (c.ts, c.lsn) >= (a.ts, a.lsn)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts, lsn) AS rk
+        FROM applied
+    ),
+    merged AS (
+        SELECT conv_id, turn_idx,
+               arg_max(struct_pack(v := role), rk)
+                   FILTER (WHERE op = 'U' OR role IS NOT NULL) AS role_s,
+               arg_max(struct_pack(v := text), rk)
+                   FILTER (WHERE op = 'U' OR text IS NOT NULL) AS text_s,
+               arg_max(struct_pack(v := tool), rk)
+                   FILTER (WHERE op = 'U' OR tool IS NOT NULL) AS tool_s
+        FROM ranked GROUP BY conv_id, turn_idx
+    )
+    SELECT m.conv_id, m.turn_idx, role_s.v AS role, text_s.v AS text,
+           tool_s.v AS tool, a.ts, a.lsn
+    FROM merged m
+    JOIN alive a ON m.conv_id = a.conv_id AND m.turn_idx = a.turn_idx
+    ORDER BY m.conv_id, m.turn_idx
+    """
+    return duckdb.sql(sql).df()

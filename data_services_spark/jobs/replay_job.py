@@ -36,6 +36,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--bucket-count", type=int, default=16)
     ap.add_argument("--dedup-method", default="max_by",
                     choices=["max_by", "salted", "window"])
+    ap.add_argument("--merge-engine", default="lww",
+                    choices=["lww", "partial_update"],
+                    help="bootstrap only: partial_update tables ingest "
+                         "Debezium-style sparse updates (op 'P' writes only "
+                         "its non-null columns); loading an existing table "
+                         "keeps its own engine")
     ap.add_argument("--apply-mode", default="mor", choices=["mor", "cow"],
                     help="mor: append delta layers (write-optimised, at-scale"
                          " default); cow: rewrite affected buckets")
@@ -87,7 +93,12 @@ def main(argv: list[str] | None = None) -> int:
         applier = CdcApplier.load(spark, args.root, **kwargs)
     else:
         applier = CdcApplier.bootstrap(
-            spark, args.root, bucket_count=args.bucket_count, **kwargs
+            spark, args.root, bucket_count=args.bucket_count,
+            target_props=(
+                {"merge_engine": "partial_update"}
+                if args.merge_engine == "partial_update" else None
+            ),
+            **kwargs,
         )
 
     t0 = time.monotonic()
@@ -184,11 +195,20 @@ def main(argv: list[str] | None = None) -> int:
         if not args.changes:
             print(json.dumps({"error": "--verify-oracle needs --changes"}))
             return 2
-        from data_services_spark.cdc.oracle import expected_final_state, table_state_matches
+        from data_services_spark.cdc.oracle import (
+            expected_final_state,
+            expected_patch_state,
+            table_state_matches,
+        )
 
+        oracle = (
+            expected_patch_state
+            if applier.merge_engine == "partial_update"
+            else expected_final_state
+        )
         ok, msg = table_state_matches(
             applier.target.read().toPandas(),
-            expected_final_state(args.changes),
+            oracle(args.changes),
         )
         summary["oracle_match"] = ok
         summary["oracle_msg"] = msg

@@ -148,15 +148,19 @@ class CdcApplier:
         Default (LWW) tables: the chunk's per-key winners — max_by with
         map-side combine, O(changed keys) rows.
 
-        Partial-update tables: per-key winner of the FULL writes (U/D —
-        later patches must not collapse into them) plus every surviving
-        patch as its OWN row, each stamping the hidden ``_wr`` per-column
-        writer-rank struct the read fold resolves by. Patches at or below
-        the chunk's own latest full write are dropped here (they can never
-        win a per-column max against it — U-dominance); cross-chunk
-        ordering needs no care at all, the fold is arrival-order free."""
-        from pyspark.sql import Window
-
+        Partial-update tables: EVERY valid event becomes its own delta
+        row, stamped with the hidden ``_wr`` per-column writer-rank
+        struct the read fold resolves by — a pure column map, zero
+        shuffles of its own (the bucket-clustering write is the chunk's
+        only exchange, same as LWW). No within-chunk collapsing is even
+        attempted: the fold is arrival-order free and a full write
+        dominates every older patch per column (U-dominance), so
+        pre-horizon events, redeliveries, and superseded full writes are
+        dead weight that compaction folds away — paying three extra
+        whole-chunk shuffles per chunk to drop them early (measured: the
+        windowed variant ran at ~1/6 the LWW throughput) is the wrong
+        trade. Delta bytes per chunk are O(valid events), the
+        event-sourced shape a patch stream has anyway."""
         if self.merge_engine != "partial_update":
             return lww_dedup(
                 valid,
@@ -168,29 +172,11 @@ class CdcApplier:
         norm = valid.withColumn(
             "op", F.when(F.col("op") == "I", "U").otherwise(F.col("op"))
         )
-        rank = F.struct(*[F.col(o) for o in self.order])
-        w = Window.partitionBy(*self.keys)
-        tagged = norm.withColumn(
-            "_udr", F.max(F.when(F.col("op").isin("U", "D"), rank)).over(w)
-        )
-        ud = lww_dedup(
-            tagged.where(F.col("op").isin("U", "D")).drop("_udr"),
-            keys=self.keys, order=self.order, method="max_by",
-        )
-        pats = (
-            tagged.where(
-                (F.col("op") == "P")
-                & (F.col("_udr").isNull() | (rank > F.col("_udr")))
-            )
-            .drop("_udr")
-            .dropDuplicates(self.keys + self.order)  # exact redeliveries
-        )
-        rows = ud.unionByName(pats)
         snap_schema = self.target.snapshot().schema
         payload = [
             f.name for f in snap_schema.fields
             if f.name not in self.keys and f.name not in self.order
-            and f.name not in ("op", "_wr") and f.name in rows.columns
+            and f.name not in ("op", "_wr") and f.name in norm.columns
         ]
         wrote_rank = F.struct(*[F.col(o) for o in self.order])
         wr = F.struct(*[
@@ -199,7 +185,7 @@ class CdcApplier:
             .alias(c)
             for c in payload
         ])
-        return rows.withColumn("_wr", wr)
+        return norm.withColumn("_wr", wr)
 
     def _split(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
         """(valid, quarantined-with-reason) under this applier's validator."""
@@ -544,15 +530,6 @@ class CdcApplier:
             F.max(F.when(ok, F.col("lsn"))).alias("max_lsn"),
         )
         valid = tagged.where(F.col("_reason").isNull()).drop("_reason")
-        if self.merge_engine == "partial_update":
-            # the patch chunk builder consumes `valid` in TWO branches
-            # (full-write winners + per-event patch rows); left lazy, the
-            # Observation's CollectMetrics node would appear twice in one
-            # plan — breaking its exactly-once contract (JVM assertion on
-            # obs.get, and a double-fire would double-count). Materialize
-            # the validated chunk once: the checkpoint action fires the
-            # metrics, both branches then read the materialized rows.
-            valid = valid.localCheckpoint(eager=True)
 
         # Delta rows of this chunk, still carrying op ('D' winners are
         # delete tombstones). LWW tables: per-key winners via max_by
@@ -878,15 +855,6 @@ class CdcApplier:
             F.max(F.when(ok, F.col("lsn"))).alias("max_lsn"),
         )
         valid = tagged.where(F.col("_reason").isNull()).drop("_reason")
-        if self.merge_engine == "partial_update":
-            # the patch chunk builder consumes `valid` in TWO branches
-            # (full-write winners + per-event patch rows); left lazy, the
-            # Observation's CollectMetrics node would appear twice in one
-            # plan — breaking its exactly-once contract (JVM assertion on
-            # obs.get, and a double-fire would double-count). Materialize
-            # the validated chunk once: the checkpoint action fires the
-            # metrics, both branches then read the materialized rows.
-            valid = valid.localCheckpoint(eager=True)
         winners = self._chunk_rows(valid)
         existing = [f.name for f in snap.schema.fields]
         cols = (

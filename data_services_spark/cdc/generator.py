@@ -45,6 +45,7 @@ def generate_changes(
     delete_pct: int = 5,
     dup_one_in: int = 20,
     invalid_one_in: int = 0,
+    patch_pct: int = 0,
     seed: int = 42,
     with_evolution: bool = False,
     partitions: int | None = None,
@@ -66,6 +67,13 @@ def generate_changes(
         .when(op_roll < 50 + delete_pct, F.lit("I"))
         .otherwise(F.lit("U"))
     )
+    if patch_pct:
+        # patch_pct% of the NON-delete events become sparse updates (op
+        # 'P'): each writes a pseudo-random non-empty column subset (the
+        # masked columns go NULL = not written — a patch cannot write NULL)
+        op = F.when(
+            (op != "D") & ((_h("patch", seed) % 100) < patch_pct), F.lit("P")
+        ).otherwise(op)
     # event time: base + lsn seconds, jittered +/- up to 120s so ts order
     # disagrees with lsn order (the out-of-order ingredient); LWW must
     # therefore sort by (ts, lsn), not arrival order.
@@ -102,6 +110,18 @@ def generate_changes(
     # deletes carry no payload
     for c in ("role", "tool"):
         df = df.withColumn(c, F.when(F.col("op") == "D", F.lit(None)).otherwise(F.col(c)))
+    if patch_pct:
+        # per-patch written-column mask, never empty (mask % 7 + 1 over
+        # bits role/text/tool)
+        mask = (_h("pmask", seed) % 7 + 1).cast("int")
+        for bit, c in ((1, "role"), (2, "text"), (4, "tool")):
+            df = df.withColumn(
+                c,
+                F.when(
+                    (F.col("op") == "P") & (F.pmod(F.floor(mask / bit), 2) == 0),
+                    F.lit(None).cast("string"),
+                ).otherwise(F.col(c)),
+            )
 
     if invalid_one_in:
         # a trickle of rows violating the validation gates -> quarantine path

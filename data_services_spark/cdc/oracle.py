@@ -12,6 +12,23 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 
+
+def _duck():
+    """Fresh connection with a bounded allocator + disk spill: the oracle
+    often runs INSIDE a worker process that already hosts a large-heap
+    JVM, where the default greedy allocator can fail on transient
+    pressure (observed at 4M events: 'Failed to allocate block of 4096
+    bytes'). Bounded + spillable, the same fold just runs off-core."""
+    import os as _os
+    import tempfile as _tf
+
+    con = duckdb.connect()
+    con.execute("SET memory_limit='6GB'")
+    con.execute(
+        f"SET temp_directory='{_os.path.join(_tf.gettempdir(), 'duck_oracle_spill')}'"
+    )
+    return con
+
 from .schemas import MAX_TEXT_CHARS
 
 # mirrors validate.validation_reason — independently written SQL
@@ -53,7 +70,11 @@ def expected_final_state(
     FROM ranked WHERE rn = 1 AND op <> 'D'
     ORDER BY conv_id, turn_idx
     """
-    return duckdb.sql(sql).df()
+    con = _duck()
+    try:
+        return con.sql(sql).df()
+    finally:
+        con.close()
 
 
 def table_state_matches(actual: pd.DataFrame, expected: pd.DataFrame) -> tuple[bool, str]:
@@ -112,6 +133,7 @@ _PATCH_VALID_PRED = f"""
 def expected_patch_state(
     changes_parquet: str,
     hi_lsn: int | None = None,
+    conv_suffix: str | None = None,
 ) -> pd.DataFrame:
     """Partial-update fold of the (validated) patch stream, entirely in
     DuckDB — the independent oracle for ``merge_engine='partial_update'``
@@ -124,11 +146,15 @@ def expected_patch_state(
     if os.path.isdir(changes_parquet):
         changes_parquet = os.path.join(changes_parquet, "*.parquet")
     hi = "" if hi_lsn is None else f"AND lsn <= {hi_lsn}"
+    # the fold is per-key, so a deterministic key slice folds to exactly
+    # that slice of the final state — bench-scale spot verification
+    suf = ("" if conv_suffix is None
+           else f"AND conv_id LIKE '%{conv_suffix}'")
     sql = f"""
     WITH valid AS (
         SELECT * REPLACE (CASE WHEN op = 'I' THEN 'U' ELSE op END AS op)
         FROM read_parquet('{changes_parquet}', union_by_name=true)
-        WHERE {_PATCH_VALID_PRED} {hi}
+        WHERE {_PATCH_VALID_PRED} {hi} {suf}
     ),
     r0 AS (
         SELECT conv_id, turn_idx, ts, lsn, op
@@ -163,4 +189,8 @@ def expected_patch_state(
     JOIN alive a ON m.conv_id = a.conv_id AND m.turn_idx = a.turn_idx
     ORDER BY m.conv_id, m.turn_idx
     """
-    return duckdb.sql(sql).df()
+    con = _duck()
+    try:
+        return con.sql(sql).df()
+    finally:
+        con.close()

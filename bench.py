@@ -17,6 +17,10 @@ Measures:
    simplest possible Spark job (scan -> LWW agg -> noop, zero engine code)
    under the identical protocol — the single-box shared-memory ceiling
    every Spark job hits here (see BENCH/BASELINE.md for why it is opt-in).
+5. **Patch-ingest leg** (opt-in, SPARK_GRAFT_BENCH_PATCH=1): merge_engine=
+   'partial_update' replay throughput on a 40%-sparse-update stream, with
+   a deterministic key-slice of the final state verified against the
+   independent DuckDB horizon fold.
 
 Budget protocol (round-4 hardening — BENCH_r03 was rc=124 with zero data):
 

@@ -192,3 +192,62 @@ def test_chunked_batching_no_single_partition_exchange(spark):
     df = REGISTRY["chunked_batching"].fn(spark, "/root/testdata/sf0.001")
     plan = _formatted(df)
     assert "SinglePartition" not in plan, plan
+
+
+def test_patch_fold_single_exchange_partial_agg(spark, tmp_path):
+    """The partial-update read fold is ONE aggregation around ONE exchange
+    with a partial (map-side) phase — a window or a second shuffle here
+    means someone reintroduced the horizon materialization U-dominance
+    makes unnecessary."""
+    import datetime as dt
+
+    from data_services_spark.cdc.apply import CdcApplier
+    from data_services_spark.cdc.schemas import CHANGES_SCHEMA
+
+    applier = CdcApplier.bootstrap(
+        spark, str(tmp_path / "lake"), bucket_count=4,
+        target_props={"merge_engine": "partial_update"},
+    )
+    E = dt.datetime(2024, 1, 1)
+    rows = [(i, "P" if i % 3 else "U", E + dt.timedelta(minutes=i),
+             f"c{i % 6}", 0, "user", f"t{i}", None) for i in range(24)]
+    applier.replay(spark.createDataFrame(rows, CHANGES_SCHEMA), chunk_size=100)
+    plan = _formatted(applier.target.read())
+    assert "Window" not in plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges == 1, plan
+    assert "partial_max" in plan  # map-side combine on the fold
+
+
+def test_patch_apply_chunk_is_map_only_before_write(spark, tmp_path):
+    """The patch chunk builder adds NO exchange of its own: the write's
+    bucket-clustering repartition is the chunk's only shuffle (the
+    windowed variant measured ~1/6 of LWW throughput)."""
+    import datetime as dt
+
+    from data_services_spark.cdc.apply import CdcApplier
+    from data_services_spark.cdc.schemas import CHANGES_SCHEMA
+
+    applier = CdcApplier.bootstrap(
+        spark, str(tmp_path / "lake"), bucket_count=4,
+        target_props={"merge_engine": "partial_update"},
+    )
+    E = dt.datetime(2024, 1, 1)
+    rows = [(i, "P" if i % 3 else "U", E + dt.timedelta(minutes=i),
+             f"c{i % 6}", 0, "user", f"t{i}", None) for i in range(24)]
+    df = spark.createDataFrame(rows, CHANGES_SCHEMA)
+    chunk_rows = applier._chunk_rows(df)
+    plan = _formatted(chunk_rows)
+    assert "Exchange" not in plan and "Window" not in plan, plan
+
+
+def test_scd2_batch_single_exchange_shared_window(spark):
+    """scd2_history: one key shuffle; both lead() calls share one Window
+    frame (no second sort, no self-join)."""
+    df = REGISTRY["scd2_transcript_history"].fn(spark, SF_DIR)
+    plan = _formatted(df)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges == 1, plan
+    n_windows = len(re.findall(r"\(\d+\) Window\b", plan))
+    assert n_windows == 1, plan
+    assert "Join" not in plan

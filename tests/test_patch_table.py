@@ -317,3 +317,66 @@ def test_bulk_append_and_delta_stamp_writer_ranks(spark, tmp_path):
     t.append_delta(patch)
     got = {r["k"]: (r["a"], r["b"]) for r in t.read().collect()}
     assert got == {"x": ("a0", "b1")}
+
+
+def test_patch_wap_stage_audit_publish(spark, tmp_path):
+    """Write-audit-publish over a patch table: staged patch rows resolve
+    through the same fold in read_staged, the audit sees exactly what
+    publish will expose, and abandon leaves no trace."""
+    from data_services_spark.contracts import Contract, ContractSuite
+
+    applier = _patch_applier(spark, tmp_path)
+    applier.replay(_stream(spark, [
+        (0, "U", 0, "a", 0, "user", "t0", "x"),
+    ]), chunk_size=100)
+    suite = ContractSuite([
+        Contract("turn_bound", "bounds", column="turn_idx",
+                 min_value=0, max_value=100),
+    ])
+    # good patch batch: stage -> audit pass -> publish
+    good = _stream(spark, [(1, "P", 5, "a", 0, None, "patched", None)])
+    applier.stage_chunk(good, "w1", hi=1)
+    passed, _ = applier.audit_staged("w1", suite=suite)
+    assert passed
+    staged_view = applier.target.read_staged("w1")
+    assert {r["text"] for r in staged_view.collect()} == {"patched"}
+    assert applier.target.read().collect()[0]["text"] == "t0"  # invisible yet
+    applier.publish_chunk("w1")
+    assert applier.target.read().collect()[0]["text"] == "patched"
+    # poison batch: a full write beyond the contract bound -> abandon
+    bad = _stream(spark, [(2, "U", 9, "a", 5000, "user", "boom", None)])
+    applier.stage_chunk(bad, "w2", hi=2)
+    passed, report = applier.audit_staged("w2", suite=suite)
+    assert not passed
+    applier.abandon_chunk("w2")
+    assert applier.target.list_staged() == []
+    assert applier.target.read().collect()[0]["text"] == "patched"
+
+
+def test_patch_quarantine_requeue(spark, tmp_path):
+    """An invalid PATCHED value quarantines the event; a later requeue
+    under a relaxed validator re-drives it and the fold places it by its
+    original event time (LWW-style late re-drive safety)."""
+    from pyspark.sql import functions as F2
+
+    from data_services_spark.cdc.apply import CdcApplier as _A
+
+    applier = _patch_applier(spark, tmp_path)
+    stats = applier.replay(_stream(spark, [
+        (0, "U", 0, "a", 0, "user", "t0", "x"),
+        (1, "P", 5, "a", 0, "robot", "t5", None),   # bad patched role
+        (2, "P", 9, "a", 0, None, None, "x9"),      # valid later patch
+    ]), chunk_size=100)
+    assert sum(s.n_quarantined for s in stats) == 1
+    got = _rows(applier.target.read())
+    assert got[("a", 0)] == ("user", "t0", "x9", _ts(0), 0)
+    relaxed = _A.load(
+        spark, str(tmp_path / "lake"),
+        validator=lambda df: F2.lit(None).cast("string"),
+    )
+    out = relaxed.requeue_quarantine()
+    assert out["requeued"] == 1 and out["still_quarantined"] == 0
+    got = _rows(relaxed.target.read())
+    # the requeued patch applies at ITS event time: role from lsn1@t5,
+    # text from lsn1@t5 (latest writer), tool still from lsn2@t9
+    assert got[("a", 0)] == ("robot", "t5", "x9", _ts(0), 0)

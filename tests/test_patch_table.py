@@ -380,3 +380,38 @@ def test_patch_quarantine_requeue(spark, tmp_path):
     # the requeued patch applies at ITS event time: role from lsn1@t5,
     # text from lsn1@t5 (latest writer), tool still from lsn2@t9
     assert got[("a", 0)] == ("robot", "t5", "x9", _ts(0), 0)
+
+
+def test_incremental_agg_view_over_patch_source(spark, tmp_path):
+    """A materialized aggregate view maintained from a PATCH table's
+    changelog: patch-driven value changes retract the before-image and
+    apply the after-image like any other update, so two incremental
+    refreshes equal a from-scratch recompute."""
+    from data_services_spark.operators.incremental_view import IncrementalAggView
+
+    applier = _patch_applier(spark, tmp_path)
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "view"), applier.target,
+        group_cols=["role"], sum_cols=["turn_idx"], bucket_count=2,
+    )
+    applier.replay(_stream(spark, [
+        (0, "U", 0, "a", 0, "user", "t", "x"),
+        (1, "U", 1, "b", 1, "user", "t", "x"),
+        (2, "U", 2, "c", 2, "assistant", "t", "x"),
+    ]), chunk_size=100)
+    view.refresh()
+    applier.replay(_stream(spark, [
+        (3, "P", 5, "a", 0, "assistant", None, None),  # group-moving PATCH
+        (4, "D", 6, "b", 1, None, None, None),
+        (5, "P", 7, "c", 2, None, "patched", None),    # non-group patch
+    ]), chunk_size=100)
+    view.refresh()
+    got = {r["role"]: (r["n_rows"], r["sum_turn_idx"])
+           for r in view.read().collect()}
+    want = {
+        r["role"]: (r["cnt"], r["s"])
+        for r in applier.target.read().groupBy("role").agg(
+            F.count("*").alias("cnt"), F.sum("turn_idx").alias("s")
+        ).collect()
+    }
+    assert got == want == {"assistant": (2, 2)}

@@ -619,6 +619,8 @@ north rule, as close as a single box allows:
 
 | stream | protocol | 1 exec (ev/s) | 4 exec (ev/s) | efficiency |
 |---|---|---|---|---|
+| 8M events (round-4 FINAL engine, 2026-08-19) | apply loop | 92,526 | 342,689 | **0.926** |
+| 8M events (round-4 FINAL engine, 2026-08-19) | incl. maintenance compaction | 74,622 | 280,058 | **0.938** |
 | 8M events (round-4 engine, 2026-08-19) | apply loop | 83,975 | 308,704 | **0.919** |
 | 8M events (round-4 engine, 2026-08-19) | incl. maintenance compaction | 67,702 | 252,840 | **0.934** |
 | 24M events (round-3 engine, 2026-08-18) | apply loop | 82,601 | 322,635 | 0.976 |

@@ -17,6 +17,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -4222,6 +4223,188 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("pass_quality")).alias("n_pass_quality"),
         F.count_if(F.col("pass_quality") & F.col("sampled")).alias("n_selected"),
     )
+
+
+# --------------------------------------------------------------------------
+# CDC envelope decoders (sources/envelopes.py): each entry ENCODES a
+# ground-truth change stream derived from `events` into the dialect's JSON
+# envelope, runs the real decoder over the raw strings, and returns the
+# decoded rows; the DuckDB oracle computes the same ground truth directly
+# (no JSON), so any decode drift — op mapping, LSN derivation, timestamp
+# unit, image selection (after vs before on deletes), type casts — breaks
+# the hash. Reference analogue: every harvester normalizes its feed into a
+# common shape before indexing (ardc_nrt/lib/bom/wfs.py; ARGO/rsync.sh).
+# --------------------------------------------------------------------------
+
+_ENVELOPE_IMAGE_COLS = ["conv_id", "turn_idx", "role", "text"]
+
+
+def _envelope_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth change rows (ms-truncated ts — the envelope wire unit)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.timestamp_millis(F.unix_millis(F.col("ts").cast("timestamp"))).alias("ts"),
+        F.format_string("u%04d", "user_id").alias("conv_id"),
+        F.pmod("event_id", F.lit(37)).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "purchase", "assistant")
+        .otherwise("user")
+        .alias("role"),
+        F.col("props").alias("text"),
+    )
+
+
+_ENVELOPE_TRUTH_SQL = """
+    SELECT event_id AS lsn,
+           CASE WHEN event_type = 'error' THEN 'D'
+                WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+           make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000) AS ts,
+           printf('u%04d', user_id) AS conv_id,
+           CAST(event_id % 37 AS INTEGER) AS turn_idx,
+           CASE WHEN event_type = 'purchase' THEN 'assistant'
+                ELSE 'user' END AS role,
+           props AS text
+    FROM events
+"""
+
+
+def _envelope_row_schema():
+    return T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), True),
+            T.StructField("turn_idx", T.IntegerType(), True),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+
+
+@register(
+    "debezium_envelope_decode",
+    sql=_ENVELOPE_TRUTH_SQL,
+    doc="Debezium JSON envelope decode: ground-truth changes encoded as "
+        "{before, after, source{lsn, ts_ms}, op c|u|d} (after=null on "
+        "deletes, image in before — the connector's actual delete shape), "
+        "decoded back by sources/envelopes.decode_debezium. Pure from_json "
+        "column expressions, whole-stage codegen, no Python.",
+)
+def debezium_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.envelopes import decode_debezium
+
+    ch = _envelope_truth(spark, sf_dir)
+    img = F.struct(*[F.col(c) for c in _ENVELOPE_IMAGE_COLS])
+    env = F.to_json(
+        F.struct(
+            F.struct(
+                F.when(F.col("op") == "D", img).alias("before"),
+                F.when(F.col("op") != "D", img).alias("after"),
+                F.struct(
+                    F.col("lsn").alias("lsn"),
+                    F.unix_millis("ts").alias("ts_ms"),
+                ).alias("source"),
+                F.when(F.col("op") == "I", "c")
+                .when(F.col("op") == "U", "u")
+                .otherwise("d")
+                .alias("op"),
+            ).alias("payload")
+        )
+    )
+    decoded = decode_debezium(ch.select(env.alias("value")), _envelope_row_schema())
+    return decoded.select("lsn", "op", "ts", *_ENVELOPE_IMAGE_COLS)
+
+
+@register(
+    "maxwell_envelope_decode",
+    sql="""
+    SELECT event_id AS lsn,
+           CASE WHEN event_type = 'error' THEN 'D'
+                WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+           make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                          * 1000000) AS ts,
+           printf('u%04d', user_id) AS conv_id,
+           CAST(event_id % 37 AS INTEGER) AS turn_idx,
+           CASE WHEN event_type = 'purchase' THEN 'assistant'
+                ELSE 'user' END AS role,
+           props AS text
+    FROM events
+    """,
+    doc="Maxwell JSON envelope decode: type insert|update|delete, epoch-"
+        "second ts, binlog position string 'file:pos' re-encoded to the "
+        "engine LSN (file_no * 2^32 + pos). The position here is "
+        "'master.000000:<event_id>' so the decoded LSN equals event_id — "
+        "any drift in the position parse breaks the hash.",
+)
+def maxwell_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.envelopes import decode_maxwell
+
+    # Maxwell's wire unit is SECONDS: truncate the truth accordingly
+    ch = _envelope_truth(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.unix_timestamp("ts"))
+    )
+    img = F.struct(*[F.col(c) for c in _ENVELOPE_IMAGE_COLS])
+    env = F.to_json(
+        F.struct(
+            F.when(F.col("op") == "I", "insert")
+            .when(F.col("op") == "U", "update")
+            .otherwise("delete")
+            .alias("type"),
+            F.unix_timestamp("ts").alias("ts"),
+            F.format_string("master.000000:%d", "lsn").alias("position"),
+            img.alias("data"),
+        )
+    )
+    decoded = decode_maxwell(ch.select(env.alias("value")), _envelope_row_schema())
+    return decoded.select("lsn", "op", "ts", *_ENVELOPE_IMAGE_COLS)
+
+
+@register(
+    "canal_envelope_decode",
+    sql="""
+    SELECT epoch_ms(CAST(ts AS TIMESTAMP)) * 4096 AS lsn,
+           CASE WHEN event_type = 'error' THEN 'D'
+                WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+           make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000) AS ts,
+           printf('u%04d', user_id) AS conv_id,
+           CAST(event_id % 37 AS INTEGER) AS turn_idx,
+           CASE WHEN event_type = 'purchase' THEN 'assistant'
+                ELSE 'user' END AS role,
+           props AS text
+    FROM events
+    """,
+    doc="Canal JSON envelope decode: UPPER-CASE type, ms execution time "
+        "es, row images carried as an ARRAY of all-string rows (Canal "
+        "stringifies every value) — posexploded and cast back to the "
+        "target types; default LSN = es*4096 + position-in-message.",
+)
+def canal_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.envelopes import decode_canal
+
+    ch = _envelope_truth(spark, sf_dir)
+    simg = F.array(
+        F.struct(
+            F.col("conv_id").cast("string").alias("conv_id"),
+            F.col("turn_idx").cast("string").alias("turn_idx"),
+            F.col("role").cast("string").alias("role"),
+            F.col("text").cast("string").alias("text"),
+        )
+    )
+    env = F.to_json(
+        F.struct(
+            F.when(F.col("op") == "I", "INSERT")
+            .when(F.col("op") == "U", "UPDATE")
+            .otherwise("DELETE")
+            .alias("type"),
+            F.unix_millis("ts").alias("es"),
+            F.col("lsn").alias("id"),
+            simg.alias("data"),
+        )
+    )
+    decoded = decode_canal(ch.select(env.alias("value")), _envelope_row_schema())
+    return decoded.select("lsn", "op", "ts", *_ENVELOPE_IMAGE_COLS)
 
 
 # --------------------------------------------------------------------------

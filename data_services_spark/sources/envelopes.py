@@ -1,0 +1,267 @@
+"""Standard CDC envelope decoders — Debezium, Maxwell, Canal.
+
+The engine's change schema is ``(lsn, op{I,U,D}, ts, key..., payload...)``
+(``cdc/schemas.py``); real binlog tails arrive as JSON *envelopes* on a
+message bus. These decoders turn a DataFrame of raw envelope strings (the
+Kafka ``value`` column shape) into engine-ready change rows — pure column
+expressions over ``from_json``, zero Python in the hot path, so the decode
+rides whole-stage codegen and applies identically on the batch
+(``CdcApplier.apply_stream``) and streaming (``readStream`` → decode →
+``start_apply_stream``) surfaces.
+
+Reference analogue: the reference's per-source harvesters each hand-parse a
+feed into a common shape before indexing (rsync itemized output
+``ARGO/rsync.sh:14-43``, WFS records ``ardc_nrt/lib/bom/wfs.py``); the
+envelope decoders are that normalization step for the three de-facto
+binlog envelope dialects.
+
+Dialects:
+
+* **Debezium** (Postgres/MySQL connectors, schemas disabled): ``{"payload":
+  {"before": R|null, "after": R|null, "source": {"lsn"|"file"+"pos",
+  "ts_ms"}, "op": "c|u|d|r", "ts_ms"}}`` — also accepted without the
+  ``payload`` wrapper (``value.converter.schemas.enable=false`` emits the
+  envelope bare). Kafka *tombstone* messages (null value, emitted after
+  deletes for log compaction) are dropped.
+* **Maxwell**: ``{"type": "insert|update|delete|bootstrap-insert", "ts":
+  epoch_sec, "position": "file:pos", "xid", "data": R, "old": partial}``.
+* **Canal**: ``{"type": "INSERT|UPDATE|DELETE", "es": ms, "id", "data":
+  [R...], "old": [partial...]}`` — ``data`` is an ARRAY of rows per
+  message and every value is a STRING (Canal stringifies); rows are
+  posexploded and cast to the target types, keeping intra-message order
+  in the LSN.
+
+LSN derivation: LWW needs a total order per source. Debezium Postgres
+carries ``source.lsn`` directly; the MySQL dialects carry a binlog
+``(file, pos)`` pair which is encoded as ``file_number * 2^32 + pos``
+(binlog files are capped at 1 GiB, so ``pos`` fits). Canal's envelope has
+no position, only the execution time ``es`` (ms) and the driver-assigned
+batch ``id``; the default LSN is ``es * 4096 + pos_in_message`` — callers
+with a stronger source order can override via ``lsn_expr``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["decode_debezium", "decode_maxwell", "decode_canal", "decode_envelope"]
+
+# binlog position encoding: file ordinal in the high bits, byte offset low
+_BINLOG_FILE_SHIFT = 32
+
+
+def _binlog_lsn(file_col: Column, pos_col: Column) -> Column:
+    file_no = F.regexp_extract(file_col, r"(\d+)$", 1)
+    return (
+        F.when(file_no == "", F.lit(0))
+        .otherwise(file_no.cast("long"))
+        * F.lit(1 << _BINLOG_FILE_SHIFT)
+        + F.coalesce(pos_col.cast("long"), F.lit(0))
+    )
+
+
+def _string_image(row_schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        [T.StructField(f.name, T.StringType(), True) for f in row_schema.fields]
+    )
+
+
+def decode_debezium(
+    raw: DataFrame,
+    row_schema: T.StructType,
+    value_col: str = "value",
+    lsn_expr: Column | None = None,
+) -> DataFrame:
+    """Debezium JSON envelope → engine change rows.
+
+    ``row_schema``: the captured table's columns (keys + payload), e.g.
+    transcripts ``(conv_id, turn_idx, role, text, tool)``. Output columns:
+    ``lsn, op, ts`` + ``row_schema`` fields. ``op`` maps c/r → I (create /
+    snapshot read), u → U, d → D. The row image is ``after`` for upserts
+    and ``before`` for deletes (Debezium sets ``after`` null on d);
+    ``ts`` is the source-side commit time ``source.ts_ms``.
+    """
+    src = T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), True),
+            T.StructField("file", T.StringType(), True),
+            T.StructField("pos", T.LongType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+        ]
+    )
+    env = T.StructType(
+        [
+            T.StructField("before", row_schema, True),
+            T.StructField("after", row_schema, True),
+            T.StructField("source", src, True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+        ]
+    )
+    wrapped = T.StructType([T.StructField("payload", env, True)])
+    v = F.col(value_col)
+    # schemas.enable=true wraps the envelope in {"schema":…, "payload":…};
+    # schemas.enable=false emits it bare — parse both, prefer the wrapper
+    p = F.coalesce(
+        F.from_json(v, wrapped).getField("payload"),
+        F.from_json(v, env),
+    )
+    image = F.coalesce(p.getField("after"), p.getField("before"))
+    source = p.getField("source")
+    lsn = (
+        lsn_expr
+        if lsn_expr is not None
+        else F.coalesce(
+            source.getField("lsn"),
+            _binlog_lsn(source.getField("file"), source.getField("pos")),
+        )
+    )
+    op = (
+        F.when(p.getField("op").isin("c", "r"), "I")
+        .when(p.getField("op") == "u", "U")
+        .when(p.getField("op") == "d", "D")
+    )
+    ts = F.timestamp_millis(
+        F.coalesce(source.getField("ts_ms"), p.getField("ts_ms"))
+    )
+    out = raw.select(
+        lsn.cast("long").alias("lsn"),
+        op.alias("op"),
+        ts.alias("ts"),
+        *[image.getField(f.name).alias(f.name) for f in row_schema.fields],
+    )
+    # Kafka tombstones (null value) and unparseable messages decode to a
+    # null op — they are not change events
+    return out.where(F.col("op").isNotNull())
+
+
+def decode_maxwell(
+    raw: DataFrame,
+    row_schema: T.StructType,
+    value_col: str = "value",
+    lsn_expr: Column | None = None,
+) -> DataFrame:
+    """Maxwell JSON envelope → engine change rows.
+
+    ``data`` is the full row image for every type (for deletes it is the
+    deleted row). ``ts`` is epoch SECONDS; the LSN comes from the binlog
+    ``position`` string (``"file:pos"``), falling back to ``xid``.
+    """
+    env = T.StructType(
+        [
+            T.StructField("type", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("xid", T.LongType(), True),
+            T.StructField("position", T.StringType(), True),
+            T.StructField("data", row_schema, True),
+            T.StructField("old", _string_image(row_schema), True),
+        ]
+    )
+    p = F.from_json(F.col(value_col), env)
+    op = (
+        F.when(p.getField("type").isin("insert", "bootstrap-insert"), "I")
+        .when(p.getField("type") == "update", "U")
+        .when(p.getField("type") == "delete", "D")
+    )
+    lsn = (
+        lsn_expr
+        if lsn_expr is not None
+        else F.coalesce(
+            F.when(
+                p.getField("position").isNotNull(),
+                _binlog_lsn(
+                    F.regexp_extract(p.getField("position"), r"^([^:]+):", 1),
+                    F.regexp_extract(p.getField("position"), r":(\d+)$", 1).cast(
+                        "long"
+                    ),
+                ),
+            ),
+            p.getField("xid"),
+        )
+    )
+    image = p.getField("data")
+    out = raw.select(
+        lsn.cast("long").alias("lsn"),
+        op.alias("op"),
+        F.timestamp_seconds(p.getField("ts")).alias("ts"),
+        *[image.getField(f.name).alias(f.name) for f in row_schema.fields],
+    )
+    return out.where(F.col("op").isNotNull())
+
+
+def decode_canal(
+    raw: DataFrame,
+    row_schema: T.StructType,
+    value_col: str = "value",
+    lsn_expr: Column | None = None,
+) -> DataFrame:
+    """Canal JSON envelope → engine change rows.
+
+    One Canal message carries an ARRAY of row images (all values strings);
+    rows posexplode and cast to ``row_schema``'s types. The default LSN is
+    ``es_ms * 4096 + position_in_message`` — monotone within a message and
+    across commit times; override ``lsn_expr`` (sees columns ``_env``,
+    ``_pos``) when the source provides a real position.
+    """
+    simg = _string_image(row_schema)
+    env = T.StructType(
+        [
+            T.StructField("type", T.StringType(), True),
+            T.StructField("es", T.LongType(), True),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("id", T.LongType(), True),
+            T.StructField("data", T.ArrayType(simg), True),
+            T.StructField("old", T.ArrayType(simg), True),
+        ]
+    )
+    p = F.from_json(F.col(value_col), env)
+    rows = raw.select(p.alias("_env")).select(
+        "_env",
+        F.posexplode_outer(F.col("_env.data")).alias("_pos", "_img"),
+    )
+    op = (
+        F.when(F.col("_env.type") == "INSERT", "I")
+        .when(F.col("_env.type") == "UPDATE", "U")
+        .when(F.col("_env.type") == "DELETE", "D")
+    )
+    lsn = (
+        lsn_expr
+        if lsn_expr is not None
+        else F.col("_env.es") * F.lit(4096) + F.col("_pos")
+    )
+    out = rows.select(
+        lsn.cast("long").alias("lsn"),
+        op.alias("op"),
+        F.timestamp_millis(F.col("_env.es")).alias("ts"),
+        *[
+            F.col(f"_img.{f.name}").cast(f.dataType).alias(f.name)
+            for f in row_schema.fields
+        ],
+    )
+    return out.where(F.col("op").isNotNull() & F.col("_pos").isNotNull())
+
+
+_DECODERS = {
+    "debezium": decode_debezium,
+    "maxwell": decode_maxwell,
+    "canal": decode_canal,
+}
+
+
+def decode_envelope(
+    raw: DataFrame,
+    row_schema: T.StructType,
+    fmt: str,
+    value_col: str = "value",
+    lsn_expr: Column | None = None,
+) -> DataFrame:
+    """Dispatch on envelope dialect (``debezium`` | ``maxwell`` | ``canal``)."""
+    try:
+        dec = _DECODERS[fmt]
+    except KeyError:
+        raise ValueError(
+            f"unknown envelope format {fmt!r}; one of {sorted(_DECODERS)}"
+        ) from None
+    return dec(raw, row_schema, value_col=value_col, lsn_expr=lsn_expr)

@@ -1,0 +1,184 @@
+"""Envelope decoders: round-trip each dialect's encoder → decoder and pin
+the dialect-specific edge cases (tombstones, bare vs wrapped payload,
+delete images, multi-row Canal messages, binlog-position LSN encoding)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_services_spark.sources.envelopes import (
+    decode_canal,
+    decode_debezium,
+    decode_envelope,
+    decode_maxwell,
+)
+
+ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def _changes(spark, n=200):
+    """Deterministic change rows: every 7th a delete, duplicate turn keys."""
+    return spark.range(n).select(
+        (F.col("id") + 1000).alias("lsn"),
+        F.when(F.col("id") % 7 == 0, "D")
+        .when(F.col("id") % 3 == 0, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.timestamp_millis(F.lit(1700000000000) + F.col("id") * 137).alias("ts"),
+        F.format_string("c%03d", F.col("id") % 41).alias("conv_id"),
+        F.pmod("id", F.lit(9)).cast("int").alias("turn_idx"),
+        F.when(F.col("id") % 2 == 0, "user").otherwise("assistant").alias("role"),
+        F.format_string("text-%05d", "id").alias("text"),
+    )
+
+
+def _assert_round_trip(decoded, changes):
+    exp = changes.select(
+        "lsn", "op", "ts", *[f.name for f in ROW_SCHEMA.fields]
+    ).orderBy("lsn")
+    got = decoded.orderBy("lsn")
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in exp.collect()
+    ]
+
+
+def test_debezium_round_trip_wrapped(spark):
+    ch = _changes(spark)
+    img = F.struct(*[F.col(f.name) for f in ROW_SCHEMA.fields])
+    env = F.to_json(
+        F.struct(
+            F.struct(
+                F.when(F.col("op") == "D", img).alias("before"),
+                F.when(F.col("op") != "D", img).alias("after"),
+                F.struct(
+                    F.col("lsn").alias("lsn"),
+                    (F.unix_millis("ts")).alias("ts_ms"),
+                ).alias("source"),
+                F.when(F.col("op") == "I", "c")
+                .when(F.col("op") == "U", "u")
+                .otherwise("d")
+                .alias("op"),
+            ).alias("payload")
+        )
+    )
+    raw = ch.select(env.alias("value"))
+    _assert_round_trip(decode_debezium(raw, ROW_SCHEMA), ch)
+
+
+def test_debezium_bare_envelope_and_tombstones(spark):
+    ch = _changes(spark, 60)
+    img = F.struct(*[F.col(f.name) for f in ROW_SCHEMA.fields])
+    env = F.to_json(
+        F.struct(
+            F.when(F.col("op") == "D", img).alias("before"),
+            F.when(F.col("op") != "D", img).alias("after"),
+            F.struct(
+                F.col("lsn").alias("lsn"),
+                F.unix_millis("ts").alias("ts_ms"),
+            ).alias("source"),
+            F.when(F.col("op") == "I", "r")  # snapshot reads decode to I
+            .when(F.col("op") == "U", "u")
+            .otherwise("d")
+            .alias("op"),
+        )
+    )
+    raw = ch.select(env.alias("value"))
+    # interleave Kafka tombstones (null value) and garbage
+    noise = spark.createDataFrame(
+        [(None,), ("not json",), ("{}",)], "value string"
+    )
+    decoded = decode_debezium(raw.unionByName(noise), ROW_SCHEMA)
+    _assert_round_trip(decoded, ch)
+
+
+def test_debezium_mysql_file_pos_lsn(spark):
+    raw = spark.createDataFrame(
+        [
+            (
+                '{"before": null, "after": {"conv_id": "a", "turn_idx": 1, '
+                '"role": "user", "text": "hi"}, '
+                '"source": {"file": "mysql-bin.000007", "pos": 5, '
+                '"ts_ms": 1700000000000}, "op": "c"}',
+            )
+        ],
+        "value string",
+    )
+    row = decode_debezium(raw, ROW_SCHEMA).collect()[0]
+    assert row.lsn == 7 * (1 << 32) + 5
+    assert row.op == "I" and row.conv_id == "a"
+
+
+def test_maxwell_round_trip(spark):
+    ch = _changes(spark)
+    img = F.struct(*[F.col(f.name) for f in ROW_SCHEMA.fields])
+    env = F.to_json(
+        F.struct(
+            F.when(F.col("op") == "I", "insert")
+            .when(F.col("op") == "U", "update")
+            .otherwise("delete")
+            .alias("type"),
+            (F.unix_millis("ts") / 1000).cast("long").alias("ts"),
+            F.format_string(
+                "master.%06d:%d",
+                (F.col("lsn") / F.lit(1 << 32)).cast("long"),
+                F.pmod("lsn", F.lit(1 << 32)),
+            ).alias("position"),
+            img.alias("data"),
+        )
+    )
+    # maxwell ts is seconds: regenerate with second-precision timestamps
+    ch = ch.withColumn("ts", F.timestamp_seconds(F.unix_timestamp("ts")))
+    raw = ch.select(env.alias("value"))
+    _assert_round_trip(decode_maxwell(raw, ROW_SCHEMA), ch)
+
+
+def test_maxwell_xid_fallback(spark):
+    raw = spark.createDataFrame(
+        [
+            (
+                '{"type": "insert", "ts": 1700000000, "xid": 99, '
+                '"data": {"conv_id": "a", "turn_idx": 0, "role": "user", '
+                '"text": "x"}}',
+            )
+        ],
+        "value string",
+    )
+    assert decode_maxwell(raw, ROW_SCHEMA).collect()[0].lsn == 99
+
+
+def test_canal_multi_row_message(spark):
+    raw = spark.createDataFrame(
+        [
+            (
+                '{"type": "INSERT", "es": 1700000001000, "id": 3, "data": ['
+                '{"conv_id": "a", "turn_idx": "0", "role": "user", "text": "t0"},'
+                '{"conv_id": "a", "turn_idx": "1", "role": "assistant", "text": "t1"}'
+                "]}",
+            ),
+            ('{"type": "DELETE", "es": 1700000002000, "id": 4, "data": ['
+             '{"conv_id": "a", "turn_idx": "0", "role": null, "text": null}]}',),
+            (None,),
+        ],
+        "value string",
+    )
+    rows = decode_canal(raw, ROW_SCHEMA).orderBy("lsn").collect()
+    assert [r.op for r in rows] == ["I", "I", "D"]
+    # intra-message order preserved in the LSN; types cast from strings
+    assert rows[0].lsn + 1 == rows[1].lsn
+    assert rows[1].turn_idx == 1 and isinstance(rows[1].turn_idx, int)
+    assert rows[2].lsn > rows[1].lsn
+
+
+def test_decode_envelope_dispatch(spark):
+    raw = spark.createDataFrame([("x",)], "value string")
+    with pytest.raises(ValueError, match="unknown envelope format"):
+        decode_envelope(raw, ROW_SCHEMA, "debeziumm")

@@ -114,15 +114,23 @@ class CdcApplier:
         self.keys: list[str] = list(props.get("merge_keys", KEY_COLS))
         self.order: list[str] = list(props.get("order_cols", ORDER_COLS))
         self.merge_engine: str | None = props.get("merge_engine")
-        if self.merge_engine == "partial_update" and mode != "mor":
+        if self.merge_engine in ("partial_update", "aggregation") and mode != "mor":
             raise ValueError(
-                "partial_update tables apply merge-on-read only: patches "
-                "are per-event rows resolved by the read fold; a "
-                "copy-on-write rewrite would need the same fold inline — "
-                "use mode='mor'"
+                f"{self.merge_engine} tables apply merge-on-read only: "
+                "rows are resolved by the read fold; a copy-on-write "
+                "rewrite would need the same fold inline — use mode='mor'"
             )
         if validator is not None:
             self._reason = validator
+        elif self.merge_engine == "aggregation":
+            from .validate import aggregation_validation_reason
+
+            # deletes are REJECTED into quarantine (Paimon parity): an
+            # aggregate cannot retract a contribution exactly under
+            # out-of-order redelivery
+            self._reason = lambda df: aggregation_validation_reason(
+                df, self.keys
+            )
         elif self.merge_engine == "partial_update" and self.keys == KEY_COLS:
             from .validate import patch_validation_reason
 
@@ -161,6 +169,29 @@ class CdcApplier:
         windowed variant ran at ~1/6 the LWW throughput) is the wrong
         trade. Delta bytes per chunk are O(valid events), the
         event-sourced shape a patch stream has anyway."""
+        if self.merge_engine == "aggregation":
+            # Aggregation tables: pre-fold the chunk per key — ONE
+            # map-side-combinable aggregation (the same _agg_fold the read
+            # path uses), so a hot key's event storm collapses before the
+            # shuffle and delta bytes are O(changed keys) per chunk, same
+            # as LWW. The folded rows carry op='U' and the per-column
+            # write ranks of the positional functions, making them
+            # re-mergeable partials (compaction and later chunks fold
+            # them again through the same algebra).
+            from ..lake.table import _agg_fns, _agg_fold, _patch_payload_cols
+
+            snap = self.target.snapshot()
+            types = {f.name: f.dataType for f in snap.schema.fields}
+            pcols = _patch_payload_cols(snap.schema, self.keys, self.order)
+            filled = valid
+            for c in pcols:  # additive evolution: stream may lag the schema
+                if c not in filled.columns:
+                    filled = filled.withColumn(c, F.lit(None).cast(types[c]))
+            stamped = self.target._stamp_writer_ranks(filled)
+            return _agg_fold(
+                stamped, self.keys, self.order, pcols, _agg_fns(snap),
+                keep_internal=True,
+            )
         if self.merge_engine != "partial_update":
             return lww_dedup(
                 valid,
@@ -244,13 +275,16 @@ class CdcApplier:
         order_cols: list[str] | None = None,
         table_name: str = "target",
         bucket_count: int = 16,
+        target_props: dict[str, Any] | None = None,
         **kwargs: Any,
     ) -> "CdcApplier":
         """Bootstrap the SAME apply machinery for an arbitrary keyed table —
         the reference's dominant shape is a sensor-measurement series keyed
         (site/sensor, obs time), not transcripts; one engine serves both.
         ``schema`` must contain the ``order_cols`` (default ``[ts, lsn]``:
-        event time + LSN tiebreak, which also makes replay idempotent)."""
+        event time + LSN tiebreak, which also makes replay idempotent).
+        ``target_props`` merges extra table properties into the target
+        (e.g. ``merge_engine='aggregation'`` + ``agg_functions``)."""
         from pyspark.sql import types as T
 
         order_cols = list(order_cols or ORDER_COLS)
@@ -260,7 +294,8 @@ class CdcApplier:
             raise ValueError(f"target schema lacks key/order columns: {missing}")
         target = LakeTable.create(
             spark, f"{root}/{table_name}", schema, list(merge_keys), bucket_count,
-            props={"merge_keys": list(merge_keys), "order_cols": order_cols},
+            props={"merge_keys": list(merge_keys), "order_cols": order_cols,
+                   **(target_props or {})},
         )
         lineage = LakeTable.create(
             spark, f"{root}/lineage", LINEAGE_SCHEMA, ["source_partition"], 4

@@ -85,6 +85,93 @@ def lww_dedup(
     raise ValueError(f"unknown dedup method: {method}")
 
 
+#: merge functions accepted by ``merge_engine='aggregation'`` tables —
+#: every one is commutative + associative over its carried state (value, or
+#: (rank, value) for the positional pair), so chunk pre-folds, compaction
+#: folds, and the read fold compose exactly under ANY arrival order and any
+#: chunking. That algebra is the whole design: a folded partial row merges
+#: with raw events through the same expressions that merged the raw events.
+AGG_FUNCTIONS = (
+    "sum", "min", "max", "bool_or", "bool_and",
+    "last_non_null", "first_non_null",
+)
+
+#: functions whose fold needs to remember WHEN the surviving value was
+#: written (the positional pair) — their per-column rank rides the hidden
+#: ``_wr`` struct engine-side, exactly like partial_update's writer ranks
+RANKED_AGG_FUNCTIONS = ("last_non_null", "first_non_null")
+
+
+def aggregation_merge(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str],
+    functions: dict[str, str],
+    payload: Sequence[str] | None = None,
+) -> DataFrame:
+    """Aggregation merge — the Apache Paimon ``aggregation`` merge-engine
+    semantics, resolved set-at-a-time: one output row per key whose payload
+    columns are per-column AGGREGATES over every contributing event, not
+    the last writer's values. The running-total table shape (per-conv token
+    counts, message counts, error flags) maintained by the change stream
+    itself, no separate rollup job.
+
+    ``functions`` maps payload column → one of :data:`AGG_FUNCTIONS`;
+    unlisted payload columns default to ``last_non_null`` (Paimon's
+    default). NULL values never update an aggregate (Paimon semantics):
+    ``sum``/``min``/``max``/``bool_or``/``bool_and`` are the built-in
+    null-skipping aggregates; ``last_non_null``/``first_non_null`` take
+    the value written latest/earliest under ``order`` among non-null
+    writes. The output ``order`` columns stamp the latest contribution
+    (the row's "last updated" mark). Delete events are NOT accepted by
+    this engine (Paimon parity): an aggregate cannot retract a
+    contribution exactly under out-of-order redelivery, so the engine
+    path quarantines op='D' rather than corrupt totals silently.
+
+    Physical plan: ONE aggregation — every function is a single built-in
+    agg or a ``max``/``min`` over a (rank, value) struct, all of which
+    Catalyst partially aggregates map-side, so a hot key's event storm
+    collapses before the shuffle exactly like LWW.
+    """
+    keys = list(keys)
+    order = list(order)
+    if payload is None:
+        payload = [
+            c for c in df.columns
+            if c not in keys and c not in order and c != "op"
+        ]
+    payload = list(payload)
+    fns = {c: functions.get(c, "last_non_null") for c in payload}
+    bad = {c: f for c, f in fns.items() if f not in AGG_FUNCTIONS}
+    if bad:
+        raise ValueError(
+            f"unknown aggregation functions {bad}; each must be one of "
+            f"{AGG_FUNCTIONS}"
+        )
+    unknown = [c for c in functions if c not in payload]
+    if unknown:
+        raise ValueError(
+            f"agg_functions name non-payload columns {unknown} "
+            f"(payload: {payload})"
+        )
+    rank = _order_struct(order)
+    aggs = [F.max(rank).alias("_ord")]
+    for c in payload:
+        fn = fns[c]
+        if fn in ("last_non_null", "first_non_null"):
+            pair = F.when(
+                F.col(c).isNotNull(), F.struct(rank.alias("r"), F.col(c).alias("v"))
+            )
+            agg = F.max(pair) if fn == "last_non_null" else F.min(pair)
+            aggs.append(agg.getField("v").alias(c))
+        else:
+            aggs.append(getattr(F, fn)(F.col(c)).alias(c))
+    g = df.groupBy(*keys).agg(*aggs)
+    return g.select(
+        *keys, *payload, *[F.col(f"_ord.{o}").alias(o) for o in order]
+    )
+
+
 def partial_update_merge(
     df: DataFrame,
     keys: Sequence[str] = tuple(KEY_COLS),

@@ -77,6 +77,26 @@ def generic_validation_reason(
     return expr
 
 
+def aggregation_validation_reason(df: DataFrame, keys: list[str]) -> F.Column:
+    """Gate ladder for aggregation-merge tables: the generic envelope +
+    key gates, plus DELETE REJECTION — an aggregate cannot retract a
+    contribution exactly under out-of-order redelivery (Paimon's
+    aggregation merge-engine likewise refuses DELETE rows), so op='D'
+    events quarantine with an explicit reason instead of silently
+    corrupting totals. Requeue after migrating the stream, or model
+    removal as a counter column (e.g. sum of -1 tombstone credits)."""
+    gates = [
+        ("null_lsn", F.col("lsn").isNull()),
+        ("bad_op", ~F.col("op").isin(OPS)),
+        ("delete_unsupported_aggregation", F.col("op") == "D"),
+        ("null_ts", F.col("ts").isNull()),
+    ] + [(f"null_{k}", F.col(k).isNull()) for k in keys]
+    expr = F.lit(None).cast("string")
+    for name, cond in reversed(gates):
+        expr = F.when(cond, F.lit(name)).otherwise(expr)
+    return expr
+
+
 def patch_validation_reason(df: DataFrame) -> F.Column:
     """The transcripts ladder for partial-update streams: 'P' is a legal
     op, and the payload gates that assume a full row apply only to full

@@ -332,6 +332,125 @@ def _patch_fold(
     return folded.unionByName(pats)
 
 
+# ---------------------------------------------------------------------------
+# Aggregation merge engine — per-column aggregate folds (Paimon
+# ``aggregation`` parity). merge_engine='aggregation' tables resolve each
+# payload column by a declared merge FUNCTION (props['agg_functions']:
+# sum / min / max / bool_or / bool_and / last_non_null / first_non_null;
+# unlisted columns default to last_non_null) over every contributing event —
+# the running-totals table maintained by the change stream itself. Every
+# function is commutative + associative over its carried state, so chunk
+# pre-folds, compaction folds, and the read fold compose exactly under any
+# arrival order; last/first_non_null carry their write rank in the same
+# hidden ``_wr`` struct partial_update uses (only those columns get a
+# field). Deletes are REJECTED (Paimon parity): an aggregate cannot retract
+# a contribution exactly under out-of-order redelivery, so the apply path
+# quarantines op='D' instead of corrupting totals silently.
+# ---------------------------------------------------------------------------
+
+
+def _agg_fns(snap: "Snapshot") -> dict[str, str]:
+    """payload column → merge function for an aggregation table."""
+    keys = list(snap.props.get("merge_keys", snap.bucket_keys))
+    order = list(snap.props.get("order_cols") or [])
+    payload = _patch_payload_cols(snap.schema, keys, order)
+    spec = snap.props.get("agg_functions") or {}
+    return {c: spec.get(c, "last_non_null") for c in payload}
+
+
+def _with_agg_ranks(
+    schema: T.StructType, props: dict, bucket_keys: list[str] | None = None
+) -> T.StructType:
+    """Validate an aggregation table's function spec at create() time and
+    add the hidden ``_wr`` rank struct for the positional functions."""
+    from ..cdc.dedup import AGG_FUNCTIONS, RANKED_AGG_FUNCTIONS
+
+    keys = list(props.get("merge_keys") or bucket_keys or [])
+    order = list(props.get("order_cols") or [])
+    if not order:
+        raise ValueError("merge_engine='aggregation' requires order_cols")
+    types = {f.name: f.dataType for f in schema.fields}
+    missing = [c for c in keys + order if c not in types]
+    if missing:
+        raise ValueError(f"aggregation key/order columns not in schema: {missing}")
+    payload = _patch_payload_cols(schema, keys, order)
+    if not payload:
+        raise ValueError("aggregation table has no payload columns to merge")
+    spec = props.get("agg_functions") or {}
+    bad = {c: f for c, f in spec.items() if f not in AGG_FUNCTIONS}
+    if bad:
+        raise ValueError(
+            f"unknown aggregation functions {bad}; each must be one of "
+            f"{AGG_FUNCTIONS}"
+        )
+    unknown = [c for c in spec if c not in payload]
+    if unknown:
+        raise ValueError(
+            f"agg_functions name non-payload columns {unknown} "
+            f"(payload: {payload})"
+        )
+    ranked = [
+        c for c in payload
+        if spec.get(c, "last_non_null") in RANKED_AGG_FUNCTIONS
+    ]
+    if not ranked or any(f.name == _WR_COL for f in schema.fields):
+        return schema
+    rank_t = T.StructType([T.StructField(o, types[o], True) for o in order])
+    wr = T.StructType([T.StructField(c, rank_t, True) for c in ranked])
+    return T.StructType(list(schema.fields) + [T.StructField(_WR_COL, wr, True)])
+
+
+def _agg_fold(
+    union: DataFrame,
+    keys: list[str],
+    order: list[str],
+    payload: list[str],
+    fns: dict[str, str],
+    keep_internal: bool,
+) -> DataFrame:
+    """Resolve an aggregation table's rows (raw events, chunk pre-folds,
+    compacted partials — all the same shape) to one row per key: ONE
+    aggregation, every function map-side combinable. Positional functions
+    read their per-column write rank from ``_wr`` (a folded row's columns
+    were written at different times); plain functions fold the stored
+    partial directly (a folded row's ``sum`` column IS the partial sum —
+    that closure is what makes compaction exact). Output order columns
+    stamp the latest contribution. ``keep_internal`` keeps the folded
+    ``_wr`` + an op='U' marker so maintenance rewrites stay re-mergeable.
+    """
+    from ..cdc.dedup import RANKED_AGG_FUNCTIONS
+
+    rank = F.struct(*[F.col(o) for o in order])
+    ranked = [c for c in payload if fns[c] in RANKED_AGG_FUNCTIONS]
+    aggs = [F.max(rank).alias("_ord")]
+    for c in payload:
+        fn = fns[c]
+        if fn in RANKED_AGG_FUNCTIONS:
+            pair = F.when(
+                F.col(f"{_WR_COL}.{c}").isNotNull(),
+                F.struct(F.col(f"{_WR_COL}.{c}").alias("r"), F.col(c).alias("v")),
+            )
+            agg = F.max(pair) if fn == "last_non_null" else F.min(pair)
+            aggs.append(agg.alias(f"_m_{c}"))
+        else:
+            aggs.append(getattr(F, fn)(F.col(c)).alias(c))
+    g = union.groupBy(*keys).agg(*aggs)
+    value_cols = [
+        F.col(f"_m_{c}.v").alias(c) if c in ranked else F.col(c)
+        for c in payload
+    ]
+    order_cols = [F.col(f"_ord.{o}").alias(o) for o in order]
+    if not keep_internal:
+        return g.select(*keys, *value_cols, *order_cols)
+    internal = [F.lit("U").alias("op")]
+    if ranked:
+        internal.insert(
+            0,
+            F.struct(*[F.col(f"_m_{c}.r").alias(c) for c in ranked]).alias(_WR_COL),
+        )
+    return g.select(*keys, *value_cols, *order_cols, *internal)
+
+
 class LakeTable:
     """A snapshot-versioned, hash-bucketed parquet table."""
 
@@ -365,6 +484,10 @@ class LakeTable:
             # last written, and that survives compaction only if stored
             # (Paimon's per-field sequence groups solve the same problem)
             schema = _with_writer_ranks(schema, props or {}, bucket_keys)
+        elif (props or {}).get("merge_engine") == "aggregation":
+            # validate the per-column function spec up front; only the
+            # positional functions (last/first_non_null) need write ranks
+            schema = _with_agg_ranks(schema, props or {}, bucket_keys)
         snap = Snapshot(
             snapshot_id=0,
             parent_id=None,
@@ -518,6 +641,7 @@ class LakeTable:
         else:
             base_tomb = bool(snap.props.get("base_tombstones")) or keep_tombstones
         patch = snap.props.get("merge_engine") == "partial_update"
+        agg_eng = snap.props.get("merge_engine") == "aggregation"
         live = F.col("op").isNull() | (F.col("op") != "D")
         if patch:
             # compacted patch-table buckets may hold pass-through patch
@@ -525,6 +649,10 @@ class LakeTable:
             # resolvable) — never user-visible rows
             live = live & (F.col("op").isNull() | (F.col("op") != "P"))
             base_tomb = True  # clean scans must see 'op' to drop them
+        if agg_eng:
+            # compacted aggregation rows carry op='U' (re-mergeable
+            # partials); clean scans read the op schema and pass them all
+            base_tomb = True
         # split the plan: buckets WITHOUT deltas take a plain scan; the LWW
         # merge aggregation runs only over delta-bearing buckets, so its
         # shuffle is proportional to the un-compacted slice of the table,
@@ -607,6 +735,10 @@ class LakeTable:
             pcols = _patch_payload_cols(snap.schema, keys, list(order))
             merged = _patch_fold(union, list(keys), list(order), pcols,
                                  keep_tombstones)
+        elif agg_eng:
+            pcols = _patch_payload_cols(snap.schema, list(keys), list(order))
+            merged = _agg_fold(union, list(keys), list(order), pcols,
+                               _agg_fns(snap), keep_tombstones)
         else:
             payload = F.struct(*[F.col(c) for c in union.columns if c not in keys])
             rank = F.struct(*[F.col(c) for c in order])
@@ -911,8 +1043,37 @@ class LakeTable:
         would see every column as never-written and the rows would
         surface all-NULL — a silent-loss trap."""
         snap = self.snapshot()
-        if snap.props.get("merge_engine") != "partial_update" or _WR_COL in df.columns:
+        engine = snap.props.get("merge_engine")
+        if engine not in ("partial_update", "aggregation") or _WR_COL in df.columns:
             return df
+        if engine == "aggregation":
+            # only the positional columns (last/first_non_null) carry
+            # ranks, and a NULL value never updates them (Paimon null
+            # semantics), so the stamp is value-conditional — op plays no
+            # part (every accepted row is a contribution; D is rejected
+            # upstream)
+            if not any(f.name == _WR_COL for f in snap.schema.fields):
+                return df  # no positional functions on this table
+            order = list(snap.props["order_cols"])
+            missing = [o for o in order if o not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"aggregation write needs order columns {missing} "
+                    "to stamp positional-function write ranks"
+                )
+            rank = F.struct(*[F.col(o) for o in order])
+            wr_type = next(
+                f.dataType for f in snap.schema.fields if f.name == _WR_COL
+            )
+            fields = [
+                (
+                    F.when(F.col(f.name).isNotNull(), rank)
+                    if f.name in df.columns
+                    else F.lit(None)  # additive evolution: column not in stream
+                ).alias(f.name)
+                for f in wr_type.fields
+            ]
+            return df.withColumn(_WR_COL, F.struct(*fields).cast(wr_type))
         keys = snap.props.get("merge_keys", snap.bucket_keys)
         order = list(snap.props["order_cols"])
         missing = [o for o in order if o not in df.columns]
@@ -1759,9 +1920,10 @@ class LakeTable:
         Arrow end to end, the only driver round-trip is the O(buckets)
         result list (same discipline as the LSN offset collect in
         change_capture)."""
-        if snap.props.get("merge_engine") == "partial_update":
+        if snap.props.get("merge_engine") in ("partial_update", "aggregation"):
             raise ValueError(
-                f"table {self.path} is a partial_update table: the local "
+                f"table {self.path} is a "
+                f"{snap.props['merge_engine']} table: the local "
                 "Arrow rewrite folds plain LWW only — compact via "
                 "strategy='shuffle' (compact() routes there automatically)"
             )
@@ -1937,10 +2099,11 @@ class LakeTable:
             targets = [b for b in targets if b in want]
         if not targets:
             return snap
-        if snap.props.get("merge_engine") == "partial_update":
-            # the per-bucket Arrow rewrite folds plain LWW; the patch fold
-            # (per-column writer ranks + pass-through rows) lives in the
-            # read path, which the shuffle strategy compacts through
+        if snap.props.get("merge_engine") in ("partial_update", "aggregation"):
+            # the per-bucket Arrow rewrite folds plain LWW; the patch and
+            # aggregation folds (per-column writer ranks / per-column merge
+            # functions) live in the read path, which the shuffle strategy
+            # compacts through
             strategy = "shuffle"
         token = f"c{snap.snapshot_id + 1}-{uuid.uuid4().hex[:12]}"
         if strategy == "local":
@@ -2024,6 +2187,11 @@ class LakeTable:
             raise ValueError(
                 f"table {self.path} owns 'op' as a data column (raw change "
                 "events); tombstone GC does not apply"
+            )
+        if snap.props.get("merge_engine") == "aggregation":
+            raise ValueError(
+                f"table {self.path} is an aggregation table: deletes are "
+                "rejected at apply time, so it never holds tombstones"
             )
         if not snap.props.get("order_cols"):
             raise ValueError(

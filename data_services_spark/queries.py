@@ -4226,6 +4226,144 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Aggregation merge engine (Paimon `aggregation` parity): the running-totals
+# table maintained by the change stream itself — per-column merge functions
+# (sum / max / bool_or / last_non_null) instead of last-writer-wins rows.
+# --------------------------------------------------------------------------
+
+_AGG_STATE_SQL = """
+    WITH ch AS (
+        SELECT event_id AS lsn,
+               ts,
+               printf('u%04d', user_id) AS conv_id,
+               CAST(floor(value * 100) AS BIGINT) AS total_tok,
+               CAST(event_id % 37 AS INTEGER) AS max_turn,
+               event_type = 'error' AS had_error,
+               CASE WHEN event_type = 'purchase' THEN props END AS last_model
+        FROM events
+    ),
+    agg AS (
+        SELECT conv_id,
+               CAST(sum(total_tok) AS BIGINT) AS total_tok,
+               max(max_turn) AS max_turn,
+               bool_or(had_error) AS had_error
+        FROM ch GROUP BY conv_id
+    ),
+    last_row AS (
+        SELECT conv_id, ts, lsn FROM ch
+        QUALIFY row_number() OVER (
+            PARTITION BY conv_id ORDER BY ts DESC, lsn DESC) = 1
+    ),
+    last_model AS (
+        SELECT conv_id, last_model FROM ch WHERE last_model IS NOT NULL
+        QUALIFY row_number() OVER (
+            PARTITION BY conv_id ORDER BY ts DESC, lsn DESC) = 1
+    )
+    SELECT a.conv_id, a.total_tok, a.max_turn, a.had_error,
+           m.last_model, r.ts, r.lsn
+    FROM agg a
+    JOIN last_row r ON a.conv_id = r.conv_id
+    LEFT JOIN last_model m ON a.conv_id = m.conv_id
+"""
+
+
+def _agg_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event contribution rows derived from `events`: each event adds
+    tokens, raises the turn high-water mark, may flip the error flag, and
+    purchases stamp the serving model."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.lit("U").alias("op"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.format_string("u%04d", "user_id").alias("conv_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("total_tok"),
+        F.pmod("event_id", F.lit(37)).cast("int").alias("max_turn"),
+        (F.col("event_type") == "error").alias("had_error"),
+        F.when(F.col("event_type") == "purchase", F.col("props"))
+        .alias("last_model"),
+    )
+
+
+_AGG_STATE_FNS = {
+    "total_tok": "sum",
+    "max_turn": "max",
+    "had_error": "bool_or",
+    "last_model": "last_non_null",
+}
+
+
+@register(
+    "aggregation_merge_state",
+    sql=_AGG_STATE_SQL,
+    doc="Aggregation merge OPERATOR (Paimon `aggregation` merge-engine "
+        "semantics): one row per conv whose columns are per-column "
+        "AGGREGATES over every contributing event — sum(tokens), "
+        "max(turn), bool_or(error), last_non_null(model) — stamped at "
+        "the latest contribution. ONE aggregation: every function is a "
+        "built-in agg or a max/min over a (rank, value) struct, all "
+        "map-side combinable, so a hot conversation's event storm "
+        "collapses before the shuffle (cdc/dedup.py:aggregation_merge).",
+)
+def aggregation_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .cdc.dedup import aggregation_merge
+
+    return aggregation_merge(
+        _agg_change_stream(spark, sf_dir).drop("op"),
+        keys=["conv_id"], order=["ts", "lsn"], functions=_AGG_STATE_FNS,
+    )
+
+
+@register(
+    "engine_aggregation_apply",
+    sql=None,  # filled in right below: the operator's one-shot fold
+    doc="Aggregation merge through the REAL engine "
+        "(merge_engine='aggregation'): the contribution stream replays in "
+        "two windows through CdcApplier into an aggregation table — each "
+        "chunk pre-folds to re-mergeable partial rows (op='U' + the "
+        "positional functions' write ranks in the hidden _wr struct) — "
+        "with a full compaction between the windows, so window 2's events "
+        "merge against COMPACTED partials purely through the fold "
+        "algebra. The DuckDB oracle is the operator entry's one-shot "
+        "fold: equality proves chunking, compaction and arrival order "
+        "are invisible. tests/test_agg_table.py + test_agg_property.py "
+        "pin the edges (duplicate redelivery, delete quarantine, "
+        "rebucket, arbitrary chunk/compaction points).",
+)
+def engine_aggregation_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+
+    scratch = tempfile.mkdtemp(prefix="q_aggeng_")
+    stream = _agg_change_stream(spark, sf_dir)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("total_tok", T.LongType(), True),
+            T.StructField("max_turn", T.IntegerType(), True),
+            T.StructField("had_error", T.BooleanType(), True),
+            T.StructField("last_model", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("lsn", T.LongType(), True),
+        ]
+    )
+    applier = CdcApplier.bootstrap_custom(
+        spark, scratch, schema, merge_keys=["conv_id"], bucket_count=8,
+        target_props={"merge_engine": "aggregation",
+                      "agg_functions": _AGG_STATE_FNS},
+    )
+    applier.replay(stream, chunk_size=hi + 1, source_hi=hi // 2)
+    applier.target.compact()
+    applier.replay(stream, chunk_size=hi + 1)
+    return _materialize_and_clean(applier.target.read(), scratch)
+
+
+REGISTRY["engine_aggregation_apply"].sql = REGISTRY["aggregation_merge_state"].sql
+
+
+# --------------------------------------------------------------------------
 # CDC envelope decoders (sources/envelopes.py): each entry ENCODES a
 # ground-truth change stream derived from `events` into the dialect's JSON
 # envelope, runs the real decoder over the raw strings, and returns the
@@ -4419,6 +4557,14 @@ def canal_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
+    # round-4 session-2 additions (never driver-verified)
+    "aggregation_merge_state",
+    "engine_aggregation_apply",
+    "debezium_envelope_decode",
+    "maxwell_envelope_decode",
+    "canal_envelope_decode",
+    # flagship: keep standing driver evidence every round
+    "cdc_lww_apply",
     # round-4 additions / entries whose oracle or code changed this round
     "engine_scd2_history",
     "scd2_transcript_history",

@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 
 from ..lake.table import LakeTable
 from .dedup import lww_dedup
-from .planner import plan_replay
+from .planner import plan_replay, plan_replay_bounds
 from .schemas import KEY_COLS, LINEAGE_SCHEMA, ORDER_COLS, TRANSCRIPTS_SCHEMA
 
 
@@ -1013,22 +1013,41 @@ class CdcApplier:
     def replay(
         self,
         changes: DataFrame,
-        chunk_size: int,
+        chunk_size: int | None = None,
         source_hi: int | None = None,
         compact_at_end: bool = False,
+        chunk_rows: int | None = None,
     ) -> list[ChunkStats]:
         """Replay everything past the checkpoint, chunk by chunk. Safe to
         kill between chunks and re-invoke: resumes from the committed offset
         with no duplicates or gaps.
 
+        Chunking is by exactly one of two measures. ``chunk_size`` is a
+        fixed LSN width — right when LSNs are dense (synthetic streams,
+        row-numbered logs). ``chunk_rows`` is EVENT MASS: boundaries come
+        from the pending stream's own LSN quantiles (one approxQuantile
+        pass), so each chunk carries ~chunk_rows events regardless of how
+        sparse the LSN space is — the correct measure for real sources
+        (Mongo ``t*2^32+i`` cluster times, byte-offset binlog positions,
+        WAL LSNs) where fixed-width planning degenerates (see
+        planner.SparseLsnSpace). Boundaries are plain LSNs, so resume
+        semantics are identical: a killed run re-plans from the committed
+        offset and the quantile re-estimate only moves UNCOMMITTED
+        boundaries.
+
         Under MOR, buckets whose delta layer count reaches
         ``compact_threshold`` are compacted between chunks (bounding read
         amplification); ``compact_at_end=True`` leaves the table fully
         read-optimised when the replay finishes."""
+        if (chunk_size is None) == (chunk_rows is None):
+            raise ValueError("pass exactly one of chunk_size / chunk_rows")
         if source_hi is None:
             source_hi = changes.agg(F.max("lsn")).collect()[0][0]
         committed = self.committed_lsn()
-        plan = plan_replay(source_hi, committed, chunk_size)
+        if chunk_rows is not None:
+            plan = self._plan_by_rows(changes, committed, source_hi, chunk_rows)
+        else:
+            plan = plan_replay(source_hi, committed, chunk_size)
         out: list[ChunkStats] = []
         next_batch = self.target.snapshot().summary.get("batch_id", -1) + 1
         for i, (lo, hi) in enumerate(plan.ranges):
@@ -1045,6 +1064,26 @@ class CdcApplier:
             _phase("compact_end", tc)
         self.flush_lineage()
         return out
+
+    @staticmethod
+    def _plan_by_rows(changes, committed, source_hi, chunk_rows):
+        """Quantile-derived chunk boundaries over the pending stream."""
+        if chunk_rows <= 0:
+            raise ValueError("chunk_rows must be positive")
+        if source_hi is None:
+            return plan_replay(source_hi, committed, 1)  # empty-source path
+        lo = -1 if committed is None else committed
+        pending = changes.where(F.col("lsn") > F.lit(lo)).select("lsn")
+        n = pending.count()
+        if n == 0:
+            # nothing pending: delegate for the up_to_date / error verdict
+            return plan_replay(source_hi, committed, max(1, chunk_rows))
+        k = -(-n // chunk_rows)  # ceil: number of chunks
+        if k <= 1:
+            return plan_replay_bounds([], committed, source_hi)
+        probs = [i / k for i in range(1, k)]
+        bounds = pending.approxQuantile("lsn", probs, min(0.01, 0.25 / k))
+        return plan_replay_bounds([int(b) for b in bounds], committed, source_hi)
 
     def maybe_compact(self) -> None:
         """Compact any bucket whose delta layer count reached the

@@ -32,7 +32,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="synthesize this many change events instead of --changes")
     ap.add_argument("--n-convs", type=int, default=10000)
     ap.add_argument("--hot-pct", type=int, default=20)
-    ap.add_argument("--chunk-size", type=int, default=1_000_000)
+    ap.add_argument("--chunk-size", type=int, default=None,
+                    help="fixed LSN width per chunk (dense LSN spaces); "
+                         "default 1,000,000 when --chunk-rows is not given")
+    ap.add_argument("--chunk-rows", type=int, default=None,
+                    help="chunk by EVENT MASS instead: boundaries from the "
+                         "pending stream's LSN quantiles — use for sparse "
+                         "LSN spaces (Mongo cluster times, byte-offset "
+                         "binlog positions)")
     ap.add_argument("--bucket-count", type=int, default=16)
     ap.add_argument("--dedup-method", default="max_by",
                     choices=["max_by", "salted", "window"])
@@ -66,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
                          "everything after it) replays once the operator "
                          "intervenes (exit code 3)")
     args = ap.parse_args(argv)
+    if args.chunk_size is not None and args.chunk_rows is not None:
+        ap.error("--chunk-size and --chunk-rows are mutually exclusive")
+    if args.chunk_size is None and args.chunk_rows is None:
+        args.chunk_size = 1_000_000
 
     # absolute imports: spark-submit executes this file as a top-level script
     from data_services_spark.cdc.apply import CdcApplier
@@ -109,7 +120,12 @@ def main(argv: list[str] | None = None) -> int:
         from data_services_spark.cdc.planner import plan_replay
 
         source_hi = changes.agg(F.max("lsn")).collect()[0][0]
-        plan = plan_replay(source_hi, applier.committed_lsn(), args.chunk_size)
+        if args.chunk_rows is not None:
+            plan = applier._plan_by_rows(
+                changes, applier.committed_lsn(), source_hi, args.chunk_rows
+            )
+        else:
+            plan = plan_replay(source_hi, applier.committed_lsn(), args.chunk_size)
         total, n_chunks = 0, 0
         for lo, hi in plan.ranges:
             chunk = changes.where((F.col("lsn") > lo) & (F.col("lsn") <= hi))
@@ -144,7 +160,8 @@ def main(argv: list[str] | None = None) -> int:
         wall = time.monotonic() - t0
     else:
         stats = applier.replay(
-            changes, chunk_size=args.chunk_size, compact_at_end=args.compact_at_end
+            changes, chunk_size=args.chunk_size, chunk_rows=args.chunk_rows,
+            compact_at_end=args.compact_at_end,
         )
         wall = time.monotonic() - t0
 

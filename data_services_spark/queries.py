@@ -4545,6 +4545,151 @@ def canal_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("lsn", "op", "ts", *_ENVELOPE_IMAGE_COLS)
 
 
+@register(
+    "dms_envelope_decode",
+    sql=_ENVELOPE_TRUTH_SQL,
+    doc="AWS DMS Kafka envelope decode: {data, metadata{timestamp ISO-8601 "
+        "ms, record-type, operation load|insert|update|delete, "
+        "transaction-id}}; full-load rows map to I, control records (DDL "
+        "markers) are dropped. Oracle = the envelope-free ground truth, so "
+        "op mapping, ISO timestamp parse and LSN selection are all pinned.",
+)
+def dms_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.envelopes import decode_dms
+
+    ch = _envelope_truth(spark, sf_dir)
+    img = F.struct(*[F.col(c) for c in _ENVELOPE_IMAGE_COLS])
+    env = F.to_json(
+        F.struct(
+            img.alias("data"),
+            F.struct(
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias(
+                    "timestamp"
+                ),
+                F.lit("data").alias("record-type"),
+                # exercise the full-load path on the I rows
+                F.when(F.col("op") == "I", "load")
+                .when(F.col("op") == "U", "update")
+                .otherwise("delete")
+                .alias("operation"),
+                F.col("lsn").alias("transaction-id"),
+            ).alias("metadata"),
+        )
+    )
+    decoded = decode_dms(ch.select(env.alias("value")), _envelope_row_schema())
+    return decoded.select("lsn", "op", "ts", *_ENVELOPE_IMAGE_COLS)
+
+
+@register(
+    "mongo_envelope_decode",
+    sql="""
+    SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) * 4294967296
+             + event_id % 4294967296 AS lsn,
+           CASE WHEN event_type = 'error' THEN 'D'
+                WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+           make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                          * 1000000) AS ts,
+           printf('u%04d', user_id) AS conv_id,
+           CAST(event_id % 37 AS INTEGER) AS turn_idx,
+           CASE WHEN event_type = 'error' THEN NULL
+                WHEN event_type = 'purchase' THEN 'assistant'
+                ELSE 'user' END AS role,
+           CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text
+    FROM events
+    """,
+    doc="MongoDB change-stream decode (full mode): operationType + BSON "
+        "clusterTime {t, i} → LSN = t*2^32 + i (the oplog's own total "
+        "order), second-precision ts; updates carry fullDocument "
+        "(updateLookup), deletes carry only documentKey — payload columns "
+        "NULL on D rows, which the oracle asserts explicitly.",
+)
+def mongo_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.envelopes import decode_mongo
+
+    # Mongo's wire clock is the BSON timestamp: second precision
+    ch = _envelope_truth(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.unix_timestamp("ts"))
+    )
+    img = F.struct(*[F.col(c) for c in _ENVELOPE_IMAGE_COLS])
+    key = F.struct(F.col("conv_id"), F.col("turn_idx"))
+    env = F.to_json(
+        F.struct(
+            F.when(F.col("op") == "I", "insert")
+            .when(F.col("op") == "U", "update")
+            .otherwise("delete")
+            .alias("operationType"),
+            F.struct(
+                F.struct(
+                    F.unix_timestamp("ts").alias("t"),
+                    F.pmod("lsn", F.lit(1 << 32)).alias("i"),
+                ).alias("$timestamp")
+            ).alias("clusterTime"),
+            F.when(F.col("op") != "D", img).alias("fullDocument"),
+            key.alias("documentKey"),
+        )
+    )
+    decoded = decode_mongo(ch.select(env.alias("value")), _envelope_row_schema())
+    return decoded.select("lsn", "op", "ts", *_ENVELOPE_IMAGE_COLS)
+
+
+@register(
+    "mongo_patch_decode",
+    sql="""
+    SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) * 4294967296
+             + event_id % 4294967296 AS lsn,
+           CASE WHEN event_type = 'error' THEN 'D'
+                WHEN event_type = 'signup' THEN 'I' ELSE 'P' END AS op,
+           printf('u%04d', user_id) AS conv_id,
+           CAST(event_id % 37 AS INTEGER) AS turn_idx,
+           CASE WHEN event_type = 'signup' THEN 'user'
+                ELSE NULL END AS role,
+           CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text
+    FROM events
+    """,
+    doc="MongoDB change-stream decode (patch mode): updates WITHOUT "
+        "updateLookup decode to op='P' sparse rows — documentKey keys + "
+        "updatedFields payload, NULL elsewhere — feeding the "
+        "partial_update merge engine, whose value-conditional write ranks "
+        "realize Mongo's 'absent field = untouched' semantics. Here "
+        "updatedFields carries only text, so role must be NULL on P rows.",
+)
+def mongo_patch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.envelopes import decode_mongo
+
+    ch = _envelope_truth(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.unix_timestamp("ts"))
+    )
+    img = F.struct(*[F.col(c) for c in _ENVELOPE_IMAGE_COLS])
+    key = F.struct(F.col("conv_id"), F.col("turn_idx"))
+    env = F.to_json(
+        F.struct(
+            F.when(F.col("op") == "I", "insert")
+            .when(F.col("op") == "U", "update")
+            .otherwise("delete")
+            .alias("operationType"),
+            F.struct(
+                F.struct(
+                    F.unix_timestamp("ts").alias("t"),
+                    F.pmod("lsn", F.lit(1 << 32)).alias("i"),
+                ).alias("$timestamp")
+            ).alias("clusterTime"),
+            F.when(F.col("op") == "I", img).alias("fullDocument"),
+            key.alias("documentKey"),
+            F.when(
+                F.col("op") == "U",
+                F.struct(
+                    F.struct(F.col("text")).alias("updatedFields"),
+                    F.array().cast("array<string>").alias("removedFields"),
+                ),
+            ).alias("updateDescription"),
+        )
+    )
+    decoded = decode_mongo(
+        ch.select(env.alias("value")), _envelope_row_schema(), mode="patch"
+    )
+    return decoded.select("lsn", "op", *_ENVELOPE_IMAGE_COLS)
+
+
 # --------------------------------------------------------------------------
 # Driver-verification window ordering.
 #
@@ -4563,6 +4708,9 @@ _DRIVER_PRIORITY = [
     "debezium_envelope_decode",
     "maxwell_envelope_decode",
     "canal_envelope_decode",
+    "dms_envelope_decode",
+    "mongo_envelope_decode",
+    "mongo_patch_decode",
     # flagship: keep standing driver evidence every round
     "cdc_lww_apply",
     # round-4 additions / entries whose oracle or code changed this round

@@ -30,6 +30,15 @@ Dialects:
   message and every value is a STRING (Canal stringifies); rows are
   posexploded and cast to the target types, keeping intra-message order
   in the LSN.
+* **DMS** (AWS DMS → Kafka/Kinesis): ``{"data": R, "metadata":
+  {"timestamp": ISO-8601, "record-type", "operation", "transaction-id"}}``
+  — ``load`` full-load rows map to I; control records are dropped.
+* **Mongo** (MongoDB change streams, extended JSON): ``operationType`` +
+  ``clusterTime.$timestamp`` + ``fullDocument``/``documentKey``/
+  ``updateDescription``; LSN is the BSON-timestamp order ``t*2^32 + i``.
+  ``mode='patch'`` decodes updates to op='P' sparse rows for
+  ``merge_engine='partial_update'`` tables (updatedFields only — Mongo's
+  "absent = untouched" IS the patch-engine contract).
 
 LSN derivation: LWW needs a total order per source. Debezium Postgres
 carries ``source.lsn`` directly; the MySQL dialects carry a binlog
@@ -46,7 +55,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["decode_debezium", "decode_maxwell", "decode_canal", "decode_envelope"]
+__all__ = [
+    "decode_debezium", "decode_maxwell", "decode_canal", "decode_dms",
+    "decode_mongo", "decode_envelope",
+]
 
 # binlog position encoding: file ordinal in the high bits, byte offset low
 _BINLOG_FILE_SHIFT = 32
@@ -243,10 +255,187 @@ def decode_canal(
     return out.where(F.col("op").isNotNull() & F.col("_pos").isNotNull())
 
 
+def decode_dms(
+    raw: DataFrame,
+    row_schema: T.StructType,
+    value_col: str = "value",
+    lsn_expr: Column | None = None,
+) -> DataFrame:
+    """AWS DMS Kafka/Kinesis JSON envelope → engine change rows.
+
+    ``{"data": R, "metadata": {"timestamp": ISO-8601, "record-type":
+    "data"|"control", "operation": "load|insert|update|delete",
+    "transaction-id": long, ...}}``. ``load`` (full-load rows) and
+    ``insert`` map to I, ``update`` → U, ``delete`` → D (``data`` carries
+    the key image on deletes). Control records (table DDL markers emitted
+    with ``IncludeControlDetails``) carry no row — dropped. The default
+    LSN is ``metadata.transaction-id``; DMS emits it only when
+    ``IncludePartitionValue``-style task settings enable transaction
+    details, so callers without it override ``lsn_expr``.
+    """
+    meta = T.StructType(
+        [
+            T.StructField("timestamp", T.StringType(), True),
+            T.StructField("record-type", T.StringType(), True),
+            T.StructField("operation", T.StringType(), True),
+            T.StructField("transaction-id", T.LongType(), True),
+            T.StructField("transaction-record-id", T.LongType(), True),
+        ]
+    )
+    env = T.StructType(
+        [
+            T.StructField("data", row_schema, True),
+            T.StructField("metadata", meta, True),
+        ]
+    )
+    p = F.from_json(F.col(value_col), env)
+    m = p.getField("metadata")
+    op = (
+        F.when(m.getField("operation").isin("load", "insert"), "I")
+        .when(m.getField("operation") == "update", "U")
+        .when(m.getField("operation") == "delete", "D")
+    )
+    lsn = (
+        lsn_expr if lsn_expr is not None else m.getField("transaction-id")
+    )
+    image = p.getField("data")
+    out = raw.select(
+        lsn.cast("long").alias("lsn"),
+        op.alias("op"),
+        # DMS stamps microsecond ISO-8601 UTC strings
+        F.to_timestamp(m.getField("timestamp")).alias("ts"),
+        *[image.getField(f.name).alias(f.name) for f in row_schema.fields],
+    ).where(m.getField("record-type") == "data")
+    return out.where(F.col("op").isNotNull())
+
+
+def decode_mongo(
+    raw: DataFrame,
+    row_schema: T.StructType,
+    value_col: str = "value",
+    lsn_expr: Column | None = None,
+    mode: str = "full",
+) -> DataFrame:
+    """MongoDB change-stream event (extended JSON) → engine change rows.
+
+    ``{"operationType": "insert|replace|update|delete", "clusterTime":
+    {"$timestamp": {"t": sec, "i": ord}}, "fullDocument": R|absent,
+    "documentKey": K, "updateDescription": {"updatedFields": partial,
+    "removedFields": [...]}}``.
+
+    LSN = ``t * 2^32 + i`` — exactly the BSON-timestamp total order the
+    oplog itself sorts by. ``ts`` is ``t`` (second precision).
+
+    ``mode='full'`` (default): insert → I, replace/update → U with the
+    ``fullDocument`` image — update events REQUIRE the stream to run with
+    ``fullDocument: 'updateLookup'``; updates arriving without an image
+    are dropped (they carry no usable full row), so streams without
+    updateLookup should use patch mode instead. delete → D with the
+    ``documentKey`` image (key columns only, payload null — exactly what
+    the engine's LWW tombstone needs).
+
+    ``mode='patch'``: update events decode to op='P' sparse patch rows for
+    ``merge_engine='partial_update'`` tables — ``documentKey`` keys +
+    ``updatedFields`` payload, null elsewhere (null = "not written" under
+    the patch engine's value-conditional write ranks, matching Mongo's
+    "absent field = untouched" update semantics). ``removedFields`` is the
+    one construct the encoding cannot carry (an explicit write-to-null);
+    rows whose removedFields intersect ``row_schema`` decode with
+    ``op='P'`` all the same and the dropped unset is the documented
+    trade — route such streams through updateLookup + full mode.
+    """
+    if mode not in ("full", "patch"):
+        raise ValueError(f"unknown mongo decode mode {mode!r}: full|patch")
+    bson_ts = T.StructType(
+        [
+            T.StructField("t", T.LongType(), True),
+            T.StructField("i", T.LongType(), True),
+        ]
+    )
+    env = T.StructType(
+        [
+            T.StructField("operationType", T.StringType(), True),
+            T.StructField(
+                "clusterTime",
+                T.StructType([T.StructField("$timestamp", bson_ts, True)]),
+                True,
+            ),
+            T.StructField("fullDocument", row_schema, True),
+            T.StructField("documentKey", row_schema, True),
+            T.StructField(
+                "updateDescription",
+                T.StructType(
+                    [
+                        T.StructField("updatedFields", row_schema, True),
+                        T.StructField(
+                            "removedFields", T.ArrayType(T.StringType()), True
+                        ),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    p = F.from_json(F.col(value_col), env)
+    otype = p.getField("operationType")
+    ct = p.getField("clusterTime").getField("$timestamp")
+    lsn = (
+        lsn_expr
+        if lsn_expr is not None
+        else ct.getField("t") * F.lit(1 << 32) + ct.getField("i")
+    )
+    full = p.getField("fullDocument")
+    dkey = p.getField("documentKey")
+    upd = p.getField("updateDescription").getField("updatedFields")
+    if mode == "full":
+        op = (
+            F.when(otype == "insert", "I")
+            .when(
+                (otype.isin("replace", "update")) & full.isNotNull(), "U"
+            )
+            .when(otype == "delete", "D")
+        )
+        image = F.when(otype == "delete", dkey).otherwise(full)
+    else:
+        op = (
+            F.when(otype == "insert", "I")
+            .when((otype == "replace") & full.isNotNull(), "U")
+            .when(otype == "update", "P")
+            .when(otype == "delete", "D")
+        )
+        image = (
+            F.when(otype == "delete", dkey)
+            # patch image: documentKey keys, updatedFields payload — a
+            # field appears in exactly one of the two structs, so the
+            # per-field coalesce is the struct merge
+            .when(
+                otype == "update",
+                F.struct(
+                    *[
+                        F.coalesce(
+                            dkey.getField(f.name), upd.getField(f.name)
+                        ).alias(f.name)
+                        for f in row_schema.fields
+                    ]
+                ),
+            )
+            .otherwise(full)
+        )
+    out = raw.select(
+        lsn.cast("long").alias("lsn"),
+        op.alias("op"),
+        F.timestamp_seconds(ct.getField("t")).alias("ts"),
+        *[image.getField(f.name).alias(f.name) for f in row_schema.fields],
+    )
+    return out.where(F.col("op").isNotNull())
+
+
 _DECODERS = {
     "debezium": decode_debezium,
     "maxwell": decode_maxwell,
     "canal": decode_canal,
+    "dms": decode_dms,
+    "mongo": decode_mongo,
 }
 
 
@@ -257,7 +446,8 @@ def decode_envelope(
     value_col: str = "value",
     lsn_expr: Column | None = None,
 ) -> DataFrame:
-    """Dispatch on envelope dialect (``debezium`` | ``maxwell`` | ``canal``)."""
+    """Dispatch on envelope dialect (``debezium`` | ``maxwell`` | ``canal``
+    | ``dms`` | ``mongo``)."""
     try:
         dec = _DECODERS[fmt]
     except KeyError:

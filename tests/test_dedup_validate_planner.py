@@ -3,6 +3,8 @@ validation gates, replay planner truth table."""
 
 from __future__ import annotations
 
+import datetime as dt
+
 import pandas as pd
 import pytest
 
@@ -136,3 +138,62 @@ def test_plan_impossible():
 def test_plan_empty_source_never_processed():
     p = plan_replay(source_hi_lsn=None, committed_lsn=None, chunk_size=5)
     assert p.decision == "up_to_date" and p.ranges == []
+
+
+def test_plan_sparse_lsn_space_guard():
+    """Mongo-shaped LSNs (t*2^32+i) with a small fixed width must refuse
+    loudly instead of materializing billions of empty ranges."""
+    from data_services_spark.cdc.planner import SparseLsnSpace
+
+    with pytest.raises(SparseLsnSpace, match="chunk_rows"):
+        plan_replay(
+            source_hi_lsn=400 * (1 << 32), committed_lsn=None, chunk_size=2
+        )
+
+
+def test_plan_bounds_quantile_edges():
+    from data_services_spark.cdc.planner import plan_replay_bounds
+
+    # dedupes, drops out-of-range edges, always tops out at source_hi
+    p = plan_replay_bounds([50, 50, 5, 120, 90], committed_lsn=10,
+                           source_hi_lsn=100)
+    assert p.decision == "new_data"
+    assert p.ranges == [(10, 50), (50, 90), (90, 100)]
+    # bootstrap + empty bounds = single full range
+    p = plan_replay_bounds([], committed_lsn=None, source_hi_lsn=7)
+    assert p.decision == "bootstrap" and p.ranges == [(-1, 7)]
+    # up-to-date and impossible verdicts match plan_replay
+    assert plan_replay_bounds([], 9, 9).decision == "up_to_date"
+    with pytest.raises(CheckpointAheadOfSource):
+        plan_replay_bounds([], 20, 10)
+
+
+def test_replay_chunk_rows_sparse_lsns(spark, tmp_path):
+    """chunk_rows replay over a sparse (Mongo-shaped) LSN space: multiple
+    mass-balanced chunks, exactly-once final state equal to the dense
+    replay of the same events."""
+    from data_services_spark.cdc.apply import CdcApplier
+
+    rows = []
+    for i in range(40):
+        # sparse: consecutive events 2^32 apart, hot key c0
+        rows.append((f"c{i % 4}", i // 4, "user", f"t{i}",
+                     None, dt.datetime(2025, 1, 1, 0, i),
+                     (100 + i) * (1 << 32), "U" if i % 5 else "I"))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, lsn long, op string",
+    )
+    a = CdcApplier.bootstrap(spark, str(tmp_path / "lake_q"), bucket_count=4)
+    stats = a.replay(df, chunk_rows=10)
+    assert len(stats) == 4  # 40 events / 10-row chunks
+    assert a.committed_lsn() == 139 * (1 << 32)
+    b = CdcApplier.bootstrap(spark, str(tmp_path / "lake_d"), bucket_count=4)
+    b.replay(df, chunk_size=(1 << 32) * 40)
+    got = {tuple(r) for r in a.target.read().collect()}
+    want = {tuple(r) for r in b.target.read().collect()}
+    assert got == want and len(got) == 40
+    # resume: re-invoking with the same stream is a pure no-op
+    stats2 = a.replay(df, chunk_rows=10)
+    assert stats2 == []

@@ -11,8 +11,10 @@ from pyspark.sql import types as T
 from data_services_spark.sources.envelopes import (
     decode_canal,
     decode_debezium,
+    decode_dms,
     decode_envelope,
     decode_maxwell,
+    decode_mongo,
 )
 
 ROW_SCHEMA = T.StructType(
@@ -178,7 +180,164 @@ def test_canal_multi_row_message(spark):
     assert rows[2].lsn > rows[1].lsn
 
 
+def test_dms_round_trip_and_control_drop(spark):
+    ch = _changes(spark, 120)
+    img = F.struct(*[F.col(f.name) for f in ROW_SCHEMA.fields])
+    env = F.to_json(
+        F.struct(
+            img.alias("data"),
+            F.struct(
+                F.date_format(
+                    "ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+                ).alias("timestamp"),
+                F.lit("data").alias("record-type"),
+                F.when(F.col("op") == "I", "insert")
+                .when(F.col("op") == "U", "update")
+                .otherwise("delete")
+                .alias("operation"),
+                F.col("lsn").alias("transaction-id"),
+            ).alias("metadata"),
+        )
+    )
+    raw = ch.select(env.alias("value"))
+    # control records (DDL markers) carry no row image — must be dropped
+    control = spark.createDataFrame(
+        [
+            (
+                '{"metadata": {"record-type": "control", "operation": '
+                '"create-table", "timestamp": "2023-01-01T00:00:00.000Z"}}',
+            )
+        ],
+        "value string",
+    )
+    decoded = decode_dms(raw.unionByName(control), ROW_SCHEMA)
+    _assert_round_trip(decoded, ch)
+
+
+def test_dms_load_maps_to_insert(spark):
+    raw = spark.createDataFrame(
+        [
+            (
+                '{"data": {"conv_id": "a", "turn_idx": 0, "role": "user", '
+                '"text": "x"}, "metadata": {"timestamp": '
+                '"2023-05-17T19:28:17.438Z", "record-type": "data", '
+                '"operation": "load", "transaction-id": 7}}',
+            )
+        ],
+        "value string",
+    )
+    row = decode_dms(raw, ROW_SCHEMA).collect()[0]
+    assert row.op == "I" and row.lsn == 7 and row.conv_id == "a"
+
+
+def _mongo_envelopes(ch):
+    """Encode change rows as change-stream events (full-mode shape)."""
+    img = F.struct(*[F.col(f.name) for f in ROW_SCHEMA.fields])
+    key = F.struct(
+        F.col("conv_id").alias("conv_id"),
+        F.col("turn_idx").alias("turn_idx"),
+    )
+    return ch.select(
+        F.to_json(
+            F.struct(
+                F.when(F.col("op") == "I", "insert")
+                .when(F.col("op") == "U", "update")
+                .otherwise("delete")
+                .alias("operationType"),
+                F.struct(
+                    F.struct(
+                        F.unix_timestamp("ts").alias("t"),
+                        F.pmod("lsn", F.lit(1 << 32)).alias("i"),
+                    ).alias("$timestamp")
+                ).alias("clusterTime"),
+                F.when(F.col("op") != "D", img).alias("fullDocument"),
+                key.alias("documentKey"),
+            )
+        ).alias("value")
+    )
+
+
+def test_mongo_full_mode_round_trip(spark):
+    # second-precision ts; LSN = t*2^32 + i round-trips exactly when the
+    # encoder packs (t, lsn mod 2^32) and t is the truth's own second
+    ch = _changes(spark, 150).withColumn(
+        "ts", F.timestamp_seconds(F.unix_timestamp("ts"))
+    )
+    ch = ch.withColumn(
+        "lsn",
+        F.unix_timestamp("ts") * F.lit(1 << 32) + F.pmod("lsn", F.lit(1 << 32)),
+    )
+    decoded = decode_mongo(_mongo_envelopes(ch), ROW_SCHEMA)
+    # deletes carry only the documentKey image (payload columns null)
+    exp = ch.withColumn(
+        "role", F.when(F.col("op") != "D", F.col("role"))
+    ).withColumn("text", F.when(F.col("op") != "D", F.col("text")))
+    _assert_round_trip(decoded, exp)
+
+
+def test_mongo_full_mode_drops_imageless_updates(spark):
+    raw = spark.createDataFrame(
+        [
+            # update without fullDocument (stream not run with updateLookup)
+            (
+                '{"operationType": "update", "clusterTime": {"$timestamp": '
+                '{"t": 1700000000, "i": 1}}, "documentKey": {"conv_id": "a", '
+                '"turn_idx": 0}, "updateDescription": {"updatedFields": '
+                '{"text": "new"}, "removedFields": []}}',
+            )
+        ],
+        "value string",
+    )
+    assert decode_mongo(raw, ROW_SCHEMA, mode="full").count() == 0
+    # patch mode decodes the same event as a sparse op='P' row
+    row = decode_mongo(raw, ROW_SCHEMA, mode="patch").collect()[0]
+    assert row.op == "P" and row.conv_id == "a" and row.turn_idx == 0
+    assert row.text == "new" and row.role is None
+    assert row.lsn == 1700000000 * (1 << 32) + 1
+
+
+def test_mongo_patch_mode_feeds_partial_update_engine(spark, tmp_path):
+    """Mongo updates without updateLookup ARE the patch-engine contract:
+    decode mode='patch' → CdcApplier on a partial_update table resolves
+    per-column winners exactly as Mongo would have."""
+    from data_services_spark.cdc.apply import CdcApplier
+
+    events = [
+        '{"operationType": "insert", "clusterTime": {"$timestamp": {"t": 100, "i": 0}},'
+        ' "fullDocument": {"conv_id": "a", "turn_idx": 0, "role": "user", "text": "v1"},'
+        ' "documentKey": {"conv_id": "a", "turn_idx": 0}}',
+        '{"operationType": "update", "clusterTime": {"$timestamp": {"t": 200, "i": 0}},'
+        ' "documentKey": {"conv_id": "a", "turn_idx": 0},'
+        ' "updateDescription": {"updatedFields": {"text": "v2"}, "removedFields": []}}',
+        '{"operationType": "update", "clusterTime": {"$timestamp": {"t": 300, "i": 0}},'
+        ' "documentKey": {"conv_id": "a", "turn_idx": 0},'
+        ' "updateDescription": {"updatedFields": {"role": "assistant"}, "removedFields": []}}',
+        '{"operationType": "delete", "clusterTime": {"$timestamp": {"t": 400, "i": 0}},'
+        ' "documentKey": {"conv_id": "b", "turn_idx": 1}}',
+    ]
+    raw = spark.createDataFrame([(e,) for e in events], "value string")
+    changes = decode_mongo(raw, ROW_SCHEMA, mode="patch").withColumn(
+        "tool", F.lit(None).cast("string")
+    )
+    applier = CdcApplier.bootstrap(
+        spark, str(tmp_path / "lake"), bucket_count=2,
+        target_props={"merge_engine": "partial_update"},
+    )
+    # Mongo LSNs are t*2^32 + i — a SPARSE space where fixed-width
+    # chunking degenerates; chunk by event mass (quantile boundaries)
+    # so the patches land in later chunks than the insert
+    applier.replay(changes, chunk_rows=2)
+    rows = {
+        (r.conv_id, r.turn_idx): r for r in applier.target.read().collect()
+    }
+    assert set(rows) == {("a", 0)}
+    got = rows[("a", 0)]
+    assert got.text == "v2" and got.role == "assistant"
+
+
 def test_decode_envelope_dispatch(spark):
     raw = spark.createDataFrame([("x",)], "value string")
     with pytest.raises(ValueError, match="unknown envelope format"):
         decode_envelope(raw, ROW_SCHEMA, "debeziumm")
+    with pytest.raises(ValueError, match="unknown mongo decode mode"):
+        decode_mongo(raw, ROW_SCHEMA, mode="fulll")

@@ -114,7 +114,10 @@ class CdcApplier:
         self.keys: list[str] = list(props.get("merge_keys", KEY_COLS))
         self.order: list[str] = list(props.get("order_cols", ORDER_COLS))
         self.merge_engine: str | None = props.get("merge_engine")
-        if self.merge_engine in ("partial_update", "aggregation") and mode != "mor":
+        if (
+            self.merge_engine in ("partial_update", "aggregation", "first_row")
+            and mode != "mor"
+        ):
             raise ValueError(
                 f"{self.merge_engine} tables apply merge-on-read only: "
                 "rows are resolved by the read fold; a copy-on-write "
@@ -129,6 +132,14 @@ class CdcApplier:
             # aggregate cannot retract a contribution exactly under
             # out-of-order redelivery
             self._reason = lambda df: aggregation_validation_reason(
+                df, self.keys
+            )
+        elif self.merge_engine == "first_row":
+            from .validate import first_row_validation_reason
+
+            # deletes are REJECTED into quarantine (Paimon parity): under
+            # FWW a delete can never displace the earlier winner
+            self._reason = lambda df: first_row_validation_reason(
                 df, self.keys
             )
         elif self.merge_engine == "partial_update" and self.keys == KEY_COLS:
@@ -193,12 +204,17 @@ class CdcApplier:
                 keep_internal=True,
             )
         if self.merge_engine != "partial_update":
+            # first_row tables pre-fold each chunk to its FIRST writer per
+            # key (min over the order) — same map-side-combinable shape as
+            # LWW, and min composes identically across chunk, compaction,
+            # and read folds
             return lww_dedup(
                 valid,
                 keys=self.keys,
                 order=self.order,
                 method=self.dedup_method,
                 salt_buckets=self.salt_buckets,
+                keep="first" if self.merge_engine == "first_row" else "last",
             )
         norm = valid.withColumn(
             "op", F.when(F.col("op") == "I", "U").otherwise(F.col("op"))

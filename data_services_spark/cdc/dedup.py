@@ -44,17 +44,26 @@ def lww_dedup(
     order: Sequence[str] = tuple(ORDER_COLS),
     method: str = "max_by",
     salt_buckets: int = 64,
+    keep: str = "last",
 ) -> DataFrame:
     """Return one row per key: the last writer under ``order``.
 
     Output columns == input columns (payload of the winning row).
+    ``keep='first'`` flips every strategy to first-writer-wins (min over
+    the order) — the resolution rule of ``merge_engine='first_row'``
+    tables; min is as map-side combinable, idempotent, and
+    arrival-order-free as max, so all the composition properties carry.
     """
+    if keep not in ("last", "first"):
+        raise ValueError(f"keep must be 'last' or 'first', got {keep!r}")
+    first = keep == "first"
     keys = list(keys)
     order = list(order)
     payload_cols = [c for c in df.columns if c not in keys]
 
     if method == "window":
-        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order])
+        by = [F.col(c).asc() if first else F.col(c).desc() for c in order]
+        w = Window.partitionBy(*keys).orderBy(*by)
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
@@ -63,9 +72,11 @@ def lww_dedup(
 
     payload = F.struct(*[F.col(c) for c in payload_cols])
     rank = _order_struct(order)
+    _by = F.min_by if first else F.max_by
+    _ext = F.min if first else F.max
 
     if method == "max_by":
-        agg = df.groupBy(*keys).agg(F.max_by(payload, rank).alias("_w"))
+        agg = df.groupBy(*keys).agg(_by(payload, rank).alias("_w"))
         return agg.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in payload_cols])
 
     if method == "salted":
@@ -77,9 +88,9 @@ def lww_dedup(
         partial = (
             df.withColumn("_salt", salt)
             .groupBy(*keys, "_salt")
-            .agg(F.max_by(payload, rank).alias("_w"), F.max(rank).alias("_r"))
+            .agg(_by(payload, rank).alias("_w"), _ext(rank).alias("_r"))
         )
-        final = partial.groupBy(*keys).agg(F.max_by(F.col("_w"), F.col("_r")).alias("_w"))
+        final = partial.groupBy(*keys).agg(_by(F.col("_w"), F.col("_r")).alias("_w"))
         return final.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in payload_cols])
 
     raise ValueError(f"unknown dedup method: {method}")

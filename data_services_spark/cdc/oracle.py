@@ -194,3 +194,49 @@ def expected_patch_state(
         return con.sql(sql).df()
     finally:
         con.close()
+
+
+# first_row streams: the generic envelope + key gates, deletes rejected
+# into quarantine (never part of the final state either way)
+_FIRST_ROW_VALID_PRED = """
+    lsn IS NOT NULL
+    AND op IN ('I','U')
+    AND ts IS NOT NULL
+    AND conv_id IS NOT NULL
+    AND turn_idx IS NOT NULL
+"""
+
+
+def expected_first_row_state(
+    changes_parquet: str,
+    hi_lsn: int | None = None,
+    extra_cols: list[str] | None = None,
+) -> pd.DataFrame:
+    """First-writer-wins fold of the (validated) change stream — the
+    independent oracle for ``merge_engine='first_row'`` tables: per key,
+    the row with MIN (ts, lsn). Deletes are quarantined by the engine's
+    first_row validation ladder, so the predicate admits I/U only."""
+    import os
+
+    if os.path.isdir(changes_parquet):
+        changes_parquet = os.path.join(changes_parquet, "*.parquet")
+    extra = "".join(f", {c}" for c in (extra_cols or []))
+    hi = "" if hi_lsn is None else f"AND lsn <= {hi_lsn}"
+    sql = f"""
+    WITH ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx
+            ORDER BY ts ASC, lsn ASC
+        ) AS rn
+        FROM read_parquet('{changes_parquet}', union_by_name=true)
+        WHERE {_FIRST_ROW_VALID_PRED} {hi}
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts, lsn{extra}
+    FROM ranked WHERE rn = 1
+    ORDER BY conv_id, turn_idx
+    """
+    con = _duck()
+    try:
+        return con.sql(sql).df()
+    finally:
+        con.close()

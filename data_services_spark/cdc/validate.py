@@ -97,6 +97,25 @@ def aggregation_validation_reason(df: DataFrame, keys: list[str]) -> F.Column:
     return expr
 
 
+def first_row_validation_reason(df: DataFrame, keys: list[str]) -> F.Column:
+    """Gate ladder for first_row-merge tables: the generic envelope + key
+    gates, plus DELETE REJECTION — under first-writer-wins an op='D' could
+    never displace the earlier winner (min over the order), so accepting
+    deletes would silently drop them; they quarantine with an explicit
+    reason instead (Paimon's first-row merge engine likewise accepts only
+    inserts)."""
+    gates = [
+        ("null_lsn", F.col("lsn").isNull()),
+        ("bad_op", ~F.col("op").isin(OPS)),
+        ("delete_unsupported_first_row", F.col("op") == "D"),
+        ("null_ts", F.col("ts").isNull()),
+    ] + [(f"null_{k}", F.col(k).isNull()) for k in keys]
+    expr = F.lit(None).cast("string")
+    for name, cond in reversed(gates):
+        expr = F.when(cond, F.lit(name)).otherwise(expr)
+    return expr
+
+
 def patch_validation_reason(df: DataFrame) -> F.Column:
     """The transcripts ladder for partial-update streams: 'P' is a legal
     op, and the payload gates that assume a full row apply only to full

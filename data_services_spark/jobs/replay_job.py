@@ -44,11 +44,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dedup-method", default="max_by",
                     choices=["max_by", "salted", "window"])
     ap.add_argument("--merge-engine", default="lww",
-                    choices=["lww", "partial_update"],
+                    choices=["lww", "partial_update", "first_row"],
                     help="bootstrap only: partial_update tables ingest "
                          "Debezium-style sparse updates (op 'P' writes only "
-                         "its non-null columns); loading an existing table "
-                         "keeps its own engine")
+                         "its non-null columns); first_row keeps each key's "
+                         "FIRST event (deletes quarantine); loading an "
+                         "existing table keeps its own engine")
     ap.add_argument("--apply-mode", default="mor", choices=["mor", "cow"],
                     help="mor: append delta layers (write-optimised, at-scale"
                          " default); cow: rewrite affected buckets")
@@ -106,8 +107,8 @@ def main(argv: list[str] | None = None) -> int:
         applier = CdcApplier.bootstrap(
             spark, args.root, bucket_count=args.bucket_count,
             target_props=(
-                {"merge_engine": "partial_update"}
-                if args.merge_engine == "partial_update" else None
+                {"merge_engine": args.merge_engine}
+                if args.merge_engine != "lww" else None
             ),
             **kwargs,
         )
@@ -214,15 +215,15 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         from data_services_spark.cdc.oracle import (
             expected_final_state,
+            expected_first_row_state,
             expected_patch_state,
             table_state_matches,
         )
 
-        oracle = (
-            expected_patch_state
-            if applier.merge_engine == "partial_update"
-            else expected_final_state
-        )
+        oracle = {
+            "partial_update": expected_patch_state,
+            "first_row": expected_first_row_state,
+        }.get(applier.merge_engine, expected_final_state)
         ok, msg = table_state_matches(
             applier.target.read().toPandas(),
             oracle(args.changes),

@@ -488,6 +488,16 @@ class LakeTable:
             # validate the per-column function spec up front; only the
             # positional functions (last/first_non_null) need write ranks
             schema = _with_agg_ranks(schema, props or {}, bucket_keys)
+        elif (props or {}).get("merge_engine") == "first_row":
+            # whole-row min_by resolution: no hidden state, but the order
+            # must exist for the fold to be defined
+            if not (props or {}).get("order_cols"):
+                raise ValueError("merge_engine='first_row' requires order_cols")
+        elif (props or {}).get("merge_engine") not in (None, "lww"):
+            raise ValueError(
+                f"unknown merge_engine {(props or {})['merge_engine']!r}: "
+                "lww | first_row | partial_update | aggregation"
+            )
         snap = Snapshot(
             snapshot_id=0,
             parent_id=None,
@@ -742,9 +752,17 @@ class LakeTable:
         else:
             payload = F.struct(*[F.col(c) for c in union.columns if c not in keys])
             rank = F.struct(*[F.col(c) for c in order])
+            # first_row tables resolve by MIN over the order (first-writer-
+            # wins); min shares every composition property max has, so the
+            # same one-aggregation fold applies
+            _by = (
+                F.min_by
+                if snap.props.get("merge_engine") == "first_row"
+                else F.max_by
+            )
             winners = (
                 union.groupBy(*keys)
-                .agg(F.max_by(payload, rank).alias("_w"))
+                .agg(_by(payload, rank).alias("_w"))
                 .select(*keys, "_w.*")
             )
             merged = winners if keep_tombstones else winners.where(live)
@@ -1933,6 +1951,9 @@ class LakeTable:
             raise ValueError(
                 f"table {self.path} has delta layers but no order_cols prop"
             )
+        # first_row tables keep the FIRST of each sorted key run instead of
+        # the last — the only difference between the FWW and LWW rewrites
+        first_row = snap.props.get("merge_engine") == "first_row"
         cols = [f.name for f in snap.schema.fields]
         ts_col = order[0]
         commit_rel = os.path.join(_DATA_DIR, token)
@@ -1997,10 +2018,13 @@ class LakeTable:
                     if len(karr) == 0:
                         out.append((int(b), None, 0))
                         continue
-                    is_last = np.append(
-                        (karr[1:] != karr[:-1]).any(axis=1), True
+                    run_break = (karr[1:] != karr[:-1]).any(axis=1)
+                    is_win = (
+                        np.append(True, run_break)
+                        if first_row
+                        else np.append(run_break, True)
                     )
-                    win = tbl.take(pa.array(sorted_kdf.index.to_numpy()[is_last]))
+                    win = tbl.take(pa.array(sorted_kdf.index.to_numpy()[is_win]))
                     n_tomb = 0
                     if "op" in win.column_names:
                         is_tomb = pc.fill_null(
@@ -2192,6 +2216,12 @@ class LakeTable:
             raise ValueError(
                 f"table {self.path} is an aggregation table: deletes are "
                 "rejected at apply time, so it never holds tombstones"
+            )
+        if snap.props.get("merge_engine") == "first_row":
+            raise ValueError(
+                f"table {self.path} is a first_row table: deletes are "
+                "rejected at apply time (FWW cannot retract an earlier "
+                "winner), so it never holds tombstones"
             )
         if not snap.props.get("order_cols"):
             raise ValueError(

@@ -1164,6 +1164,99 @@ def engine_patch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["engine_patch_apply"].sql = REGISTRY["partial_update_state"].sql
 
 
+def _first_row_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic I/U/D change stream from `events` for the first_row
+    engine (the D rows exist to prove delete-rejection leaves state
+    untouched)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.format_string("u%04d", "user_id").alias("conv_id"),
+        F.pmod("event_id", F.lit(29)).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "purchase", "assistant")
+        .otherwise("user")
+        .alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+    )
+
+
+_FIRST_ROW_SQL = """
+    WITH ch AS (
+        SELECT event_id AS lsn,
+               CAST(ts AS TIMESTAMP) AS ts,
+               printf('u%04d', user_id) AS conv_id,
+               CAST(event_id % 29 AS INTEGER) AS turn_idx,
+               CASE WHEN event_type = 'purchase' THEN 'assistant'
+                    ELSE 'user' END AS role,
+               props AS text,
+               CAST(NULL AS VARCHAR) AS tool
+        FROM events WHERE event_type <> 'error'
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts ASC, lsn ASC
+        ) AS rn FROM ch
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts, lsn
+    FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "first_row_state",
+    sql=_FIRST_ROW_SQL,
+    doc="First-writer-wins dedup (the first_row merge rule standalone): "
+        "one row per key = MIN over (ts, lsn) via map-side-combinable "
+        "min_by — same one-aggregation shape as LWW, composition "
+        "properties identical. DuckDB oracle is the independent "
+        "row_number-ASC formulation.",
+)
+def first_row_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .cdc.dedup import lww_dedup
+
+    stream = _first_row_change_stream(spark, sf_dir).where(F.col("op") != "D")
+    won = lww_dedup(stream, keep="first")
+    return won.select("conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn")
+
+
+@register(
+    "engine_first_row_apply",
+    sql=_FIRST_ROW_SQL,
+    doc="first_row merge through the REAL engine "
+        "(merge_engine='first_row', Paimon first-row parity): the stream "
+        "replays in two windows through CdcApplier — FWW chunk pre-folds, "
+        "MOR delta layers, deletes quarantined "
+        "(delete_unsupported_first_row) — with a full compaction between "
+        "the windows exercising the zero-shuffle local Arrow rewrite's "
+        "first-of-run branch at the driver. Oracle = the standalone "
+        "one-shot fold: chunking, compaction and arrival order must be "
+        "invisible. tests/test_first_row.py pins the out-of-order and "
+        "redelivery edges.",
+)
+def engine_first_row_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+
+    scratch = tempfile.mkdtemp(prefix="q_frow_")
+    stream = _first_row_change_stream(spark, sf_dir)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    applier = CdcApplier.bootstrap(
+        spark, scratch, bucket_count=8,
+        target_props={"merge_engine": "first_row"},
+    )
+    applier.replay(stream, chunk_size=hi + 1, source_hi=hi // 2)
+    applier.target.compact()
+    applier.replay(stream, chunk_size=hi + 1)
+    return _materialize_and_clean(applier.target.read(), scratch)
+
+
 @register(
     "engine_zorder_scan",
     sql=f"""
@@ -4546,6 +4639,39 @@ def canal_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "debezium_flat_envelope_decode",
+    sql=_ENVELOPE_TRUTH_SQL,
+    doc="Flattened Debezium (ExtractNewRecordState SMT) decode: the "
+        "message IS the row with __op/__source_ts_ms/__lsn/__deleted "
+        "metadata fields — the shape most Kafka consumers actually see. "
+        "Rewrite-mode deletes keep the row image under __deleted=true; "
+        "the oracle is the envelope-free ground truth.",
+)
+def debezium_flat_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.envelopes import decode_debezium_flat
+
+    ch = _envelope_truth(spark, sf_dir)
+    env = F.to_json(
+        F.struct(
+            *[F.col(c) for c in _ENVELOPE_IMAGE_COLS],
+            F.when(F.col("op") == "I", "c")
+            .when(F.col("op") == "U", "u")
+            .otherwise("d")
+            .alias("__op"),
+            F.unix_millis("ts").alias("__source_ts_ms"),
+            F.col("lsn").alias("__lsn"),
+            F.when(F.col("op") == "D", "true")
+            .otherwise("false")
+            .alias("__deleted"),
+        )
+    )
+    decoded = decode_debezium_flat(
+        ch.select(env.alias("value")), _envelope_row_schema()
+    )
+    return decoded.select("lsn", "op", "ts", *_ENVELOPE_IMAGE_COLS)
+
+
+@register(
     "dms_envelope_decode",
     sql=_ENVELOPE_TRUTH_SQL,
     doc="AWS DMS Kafka envelope decode: {data, metadata{timestamp ISO-8601 "
@@ -4708,9 +4834,12 @@ _DRIVER_PRIORITY = [
     "debezium_envelope_decode",
     "maxwell_envelope_decode",
     "canal_envelope_decode",
+    "debezium_flat_envelope_decode",
     "dms_envelope_decode",
     "mongo_envelope_decode",
     "mongo_patch_decode",
+    "first_row_state",
+    "engine_first_row_apply",
     # flagship: keep standing driver evidence every round
     "cdc_lww_apply",
     # round-4 additions / entries whose oracle or code changed this round

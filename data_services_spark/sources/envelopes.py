@@ -23,6 +23,9 @@ Dialects:
   ``payload`` wrapper (``value.converter.schemas.enable=false`` emits the
   envelope bare). Kafka *tombstone* messages (null value, emitted after
   deletes for log compaction) are dropped.
+* **Debezium flattened** (``ExtractNewRecordState`` SMT): the message IS
+  the row; metadata rides as dunder fields (``__op``, ``__source_ts_ms``,
+  ``__lsn``, ``__deleted``) — the shape most Kafka consumers actually see.
 * **Maxwell**: ``{"type": "insert|update|delete|bootstrap-insert", "ts":
   epoch_sec, "position": "file:pos", "xid", "data": R, "old": partial}``.
 * **Canal**: ``{"type": "INSERT|UPDATE|DELETE", "es": ms, "id", "data":
@@ -56,8 +59,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
-    "decode_debezium", "decode_maxwell", "decode_canal", "decode_dms",
-    "decode_mongo", "decode_envelope",
+    "decode_debezium", "decode_debezium_flat", "decode_maxwell",
+    "decode_canal", "decode_dms", "decode_mongo", "decode_envelope",
 ]
 
 # binlog position encoding: file ordinal in the high bits, byte offset low
@@ -146,6 +149,58 @@ def decode_debezium(
     )
     # Kafka tombstones (null value) and unparseable messages decode to a
     # null op — they are not change events
+    return out.where(F.col("op").isNotNull())
+
+
+def decode_debezium_flat(
+    raw: DataFrame,
+    row_schema: T.StructType,
+    value_col: str = "value",
+    lsn_expr: Column | None = None,
+) -> DataFrame:
+    """Flattened Debezium (Kafka Connect ``ExtractNewRecordState`` SMT) →
+    engine change rows.
+
+    The SMT unwraps the envelope so the message IS the row, with metadata
+    re-attached as dunder fields (``add.fields=op,source.ts_ms,source.lsn``
+    — the documented downstream-consumer recipe): ``{...row columns...,
+    "__op": "c|r|u|d", "__source_ts_ms": ms, "__lsn": n, "__deleted":
+    "true"|"false"}``. Deletes appear only under
+    ``delete.handling.mode=rewrite`` (row image kept, ``__deleted`` set);
+    with ``drop`` they become Kafka tombstones, which (like any null or
+    unparseable value) decode to no change row. op falls back to
+    ``__deleted`` when ``__op`` wasn't added, matching consumers configured
+    with only the rewrite flag.
+    """
+    env = T.StructType(
+        list(row_schema.fields)
+        + [
+            T.StructField("__op", T.StringType(), True),
+            T.StructField("__source_ts_ms", T.LongType(), True),
+            T.StructField("__ts_ms", T.LongType(), True),
+            T.StructField("__lsn", T.LongType(), True),
+            T.StructField("__deleted", T.StringType(), True),
+        ]
+    )
+    p = F.from_json(F.col(value_col), env)
+    dz_op = p.getField("__op")
+    deleted = F.lower(F.coalesce(p.getField("__deleted"), F.lit("false")))
+    op = (
+        F.when(dz_op.isin("c", "r"), "I")
+        .when(dz_op == "u", "U")
+        .when(dz_op == "d", "D")
+        .when(dz_op.isNull() & (deleted == "true"), "D")
+    )
+    lsn = lsn_expr if lsn_expr is not None else p.getField("__lsn")
+    ts = F.timestamp_millis(
+        F.coalesce(p.getField("__source_ts_ms"), p.getField("__ts_ms"))
+    )
+    out = raw.select(
+        lsn.cast("long").alias("lsn"),
+        op.alias("op"),
+        ts.alias("ts"),
+        *[p.getField(f.name).alias(f.name) for f in row_schema.fields],
+    )
     return out.where(F.col("op").isNotNull())
 
 
@@ -432,6 +487,7 @@ def decode_mongo(
 
 _DECODERS = {
     "debezium": decode_debezium,
+    "debezium_flat": decode_debezium_flat,
     "maxwell": decode_maxwell,
     "canal": decode_canal,
     "dms": decode_dms,

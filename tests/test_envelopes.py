@@ -11,6 +11,7 @@ from pyspark.sql import types as T
 from data_services_spark.sources.envelopes import (
     decode_canal,
     decode_debezium,
+    decode_debezium_flat,
     decode_dms,
     decode_envelope,
     decode_maxwell,
@@ -178,6 +179,41 @@ def test_canal_multi_row_message(spark):
     assert rows[0].lsn + 1 == rows[1].lsn
     assert rows[1].turn_idx == 1 and isinstance(rows[1].turn_idx, int)
     assert rows[2].lsn > rows[1].lsn
+
+
+def test_debezium_flat_round_trip(spark):
+    ch = _changes(spark, 130)
+    env = F.to_json(
+        F.struct(
+            *[F.col(f.name) for f in ROW_SCHEMA.fields],
+            F.when(F.col("op") == "I", "c")
+            .when(F.col("op") == "U", "u")
+            .otherwise("d")
+            .alias("__op"),
+            F.unix_millis("ts").alias("__source_ts_ms"),
+            F.col("lsn").alias("__lsn"),
+            F.when(F.col("op") == "D", "true").otherwise("false")
+            .alias("__deleted"),
+        )
+    )
+    decoded = decode_debezium_flat(ch.select(env.alias("value")), ROW_SCHEMA)
+    _assert_round_trip(decoded, ch)
+
+
+def test_debezium_flat_deleted_fallback_and_tombstone(spark):
+    rows = [
+        # rewrite-mode delete without __op: __deleted drives the mapping
+        ('{"conv_id": "a", "turn_idx": 1, "role": "user", "text": "x", '
+         '"__source_ts_ms": 1700000000000, "__lsn": 5, "__deleted": "true"}',),
+        # plain row with neither __op nor __deleted: not a change event
+        ('{"conv_id": "b", "turn_idx": 0, "role": "user", "text": "y", '
+         '"__lsn": 6}',),
+        (None,),  # Kafka tombstone
+    ]
+    raw = spark.createDataFrame(rows, "value string")
+    out = decode_debezium_flat(raw, ROW_SCHEMA).collect()
+    assert len(out) == 1
+    assert out[0].op == "D" and out[0].lsn == 5 and out[0].conv_id == "a"
 
 
 def test_dms_round_trip_and_control_drop(spark):

@@ -110,7 +110,9 @@ class CdcApplier:
         # pipeline shape). ``validator`` overrides the gate ladder; the
         # default is the tuned transcripts ladder when the keys match it,
         # else the schema-agnostic envelope+keys ladder.
-        props = target.snapshot().props
+        snap0 = target.snapshot()
+        props = snap0.props
+        props_schema_fields = snap0.schema.fields
         self.keys: list[str] = list(props.get("merge_keys", KEY_COLS))
         self.order: list[str] = list(props.get("order_cols", ORDER_COLS))
         self.merge_engine: str | None = props.get("merge_engine")
@@ -152,7 +154,13 @@ class CdcApplier:
             self._reason = lambda df: generic_validation_reason(
                 df, self.keys, patch_ops=True
             )
-        elif self.keys == KEY_COLS:
+        elif self.keys == KEY_COLS and {"role", "text"} <= {
+            f.name for f in props_schema_fields
+        }:
+            # tuned transcripts ladder — keyed like transcripts AND carrying
+            # the transcript payload (a custom table that merely reuses the
+            # key names, e.g. a routed slice, gets the schema-agnostic
+            # ladder instead of gates over columns it doesn't have)
             from .validate import validation_reason
 
             self._reason = validation_reason

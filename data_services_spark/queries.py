@@ -1257,6 +1257,124 @@ def engine_first_row_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(applier.target.read(), scratch)
 
 
+# --------------------------------------------------------------------------
+# Multi-table CDC routing (cdc/router.py): one multiplexed change stream ->
+# two heterogeneous lake tables, each with its own offsets — Debezium
+# topic-per-table / Paimon database-sync combined mode; the reference's
+# one-cron-per-feed fleet (FAIMMS vs ANMN: same loop, different table) as
+# one job.
+# --------------------------------------------------------------------------
+
+_MUX_ROUTE_SQL = """
+    WITH src AS (
+        SELECT event_id AS lsn,
+               CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+               ts,
+               CASE WHEN event_id % 2 = 0 THEN 'conv' ELSE 'metric' END AS tbl,
+               printf('u%04d', user_id) AS conv_id,
+               CAST(event_id % 37 AS INTEGER) AS turn_idx,
+               props AS text,
+               printf('s%02d', user_id % 50) AS site,
+               CAST(event_id % 101 AS INTEGER) AS obs_idx,
+               value AS temperature
+        FROM events
+    ), conv_ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM src WHERE tbl = 'conv'
+    ), conv_final AS (
+        SELECT 'conv' AS tbl, conv_id AS k1, CAST(turn_idx AS VARCHAR) AS k2,
+               text, CAST(NULL AS DOUBLE) AS temperature, ts, lsn
+        FROM conv_ranked WHERE rn = 1 AND op <> 'D'
+    ), metric_ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY site, obs_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM src WHERE tbl = 'metric'
+    ), metric_final AS (
+        SELECT 'metric' AS tbl, site AS k1, CAST(obs_idx AS VARCHAR) AS k2,
+               CAST(NULL AS VARCHAR) AS text, temperature, ts, lsn
+        FROM metric_ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT * FROM conv_final UNION ALL SELECT * FROM metric_final
+"""
+
+
+@register(
+    "engine_multi_table_route",
+    sql=_MUX_ROUTE_SQL,
+    doc="Multi-table CDC routing through the REAL engine (cdc/router.py): "
+        "one multiplexed change stream (even lsn -> a transcripts-keyed "
+        "'conv' table, odd -> a sensor-keyed 'metric' table, columns the "
+        "UNION of both schemas) fans out via pushed-down table filters to "
+        "two independent CdcApplier universes, replayed in chunks with "
+        "per-table offsets. Oracle = per-table LWW folds unioned: routing, "
+        "chunking and the shared stream must be invisible in each table's "
+        "final state. tests/test_router.py pins resume independence and "
+        "staged partition pruning.",
+)
+def engine_multi_table_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .cdc.router import CdcRouter, TableSpec
+
+    ev = load(spark, sf_dir, "events")
+    stream = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.pmod("event_id", F.lit(17)) == 0, "D").otherwise("U").alias("op"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.pmod("event_id", F.lit(2)) == 0, "conv")
+        .otherwise("metric").alias("_table"),
+        F.format_string("u%04d", "user_id").alias("conv_id"),
+        F.pmod("event_id", F.lit(37)).cast("int").alias("turn_idx"),
+        F.col("props").alias("text"),
+        F.format_string("s%02d", F.pmod("user_id", F.lit(50))).alias("site"),
+        F.pmod("event_id", F.lit(101)).cast("int").alias("obs_idx"),
+        F.col("value").alias("temperature"),
+    )
+    conv_schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("lsn", T.LongType(), True),
+    ])
+    metric_schema = T.StructType([
+        T.StructField("site", T.StringType(), False),
+        T.StructField("obs_idx", T.IntegerType(), False),
+        T.StructField("temperature", T.DoubleType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("lsn", T.LongType(), True),
+    ])
+    scratch = tempfile.mkdtemp(prefix="q_route_")
+    router = CdcRouter.bootstrap(
+        spark, scratch,
+        {
+            "conv": TableSpec(conv_schema, ["conv_id", "turn_idx"], bucket_count=8),
+            "metric": TableSpec(metric_schema, ["site", "obs_idx"], bucket_count=8),
+        },
+    )
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    router.replay(stream, chunk_size=max(1, (hi + 1) // 3 + 1))
+    conv = router.appliers["conv"].target.read().select(
+        F.lit("conv").alias("tbl"),
+        F.col("conv_id").alias("k1"),
+        F.col("turn_idx").cast("string").alias("k2"),
+        "text",
+        F.lit(None).cast("double").alias("temperature"),
+        "ts", "lsn",
+    )
+    metric = router.appliers["metric"].target.read().select(
+        F.lit("metric").alias("tbl"),
+        F.col("site").alias("k1"),
+        F.col("obs_idx").cast("string").alias("k2"),
+        F.lit(None).cast("string").alias("text"),
+        "temperature", "ts", "lsn",
+    )
+    return _materialize_and_clean(conv.unionByName(metric), scratch)
+
+
 @register(
     "engine_zorder_scan",
     sql=f"""
@@ -4828,6 +4946,8 @@ def mongo_patch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
+    # round-4 session-3 additions (never driver-verified)
+    "engine_multi_table_route",
     # round-4 session-2 additions (never driver-verified)
     "aggregation_merge_state",
     "engine_aggregation_apply",

@@ -242,3 +242,116 @@ class Scd2History:
     def read(self, current_only: bool = False) -> DataFrame:
         df = self.table.read().drop("upd_lsn")
         return df.where(F.col("is_current")) if current_only else df
+
+
+def temporal_enrich(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    fact_ts: str = "ts",
+    payload: list[str] | None = None,
+    prefix: str = "dim_",
+    version_order: list[str] | None = None,
+) -> DataFrame:
+    """Event-time temporal join: each fact row picks up the dim version
+    valid at its timestamp (``valid_from <= fact.ts < valid_to``; open
+    versions have ``valid_to`` NULL; facts before the key's first version
+    come back with NULL dim columns — LEFT JOIN semantics).
+
+    The plan is the scale-safe union + forward-fill shape, NOT a range
+    join: dim versions become (open, clear) marker rows, union with the
+    facts on the key, ONE window sort per key carries the latest marker
+    forward. One shuffle + one sort, linear in |facts| + |versions| —
+    a key with thousands of versions and millions of facts never forms
+    the per-key cross product a key-equality range join filters after
+    pairing. This is Flink's event-time temporal table join
+    (FLIP-132 semantics) as a batch plan.
+
+    Tie rules, encoded in the sort ``(event_ts, tag, version_order)``:
+    clear markers (tag 0) < open markers (tag 1) < facts (tag 2), so a
+    fact AT ``valid_from`` sees the NEW version, a fact AT ``valid_to``
+    of an ended chain sees nothing, and an interior boundary (close +
+    successor open at the same instant) resolves to the successor.
+    ``version_order`` (default: ``['lsn']`` when the history carries it)
+    breaks same-instant version races by the dim's own order.
+
+    ``history`` is :func:`scd2_history` / :class:`Scd2History` output
+    (``valid_from`` / ``valid_to`` columns); ``payload`` defaults to its
+    remaining data columns.
+    """
+    # Zero-length versions (closed by a same-instant successor or delete:
+    # valid_to == valid_from) cover no instant, so they must not emit
+    # markers — their open would otherwise outlive the boundary clear in
+    # the same-instant sort and enrich facts with a state that never
+    # existed. Dropping them is also the same-instant collapse: at most
+    # one version per (key, instant) survives, which is what makes the
+    # marker sort total.
+    history = history.where(
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
+    )
+    meta = {"valid_from", "valid_to", "end_reason", "is_current", "upd_lsn"}
+    if payload is None:
+        payload = [
+            c for c in history.columns
+            if c not in keys and c not in meta
+        ]
+    if version_order is None:
+        version_order = [c for c in ("lsn",) if c in history.columns]
+
+    p_struct = F.struct(*[F.col(c) for c in payload])
+    vo_cols = [
+        F.col(c).alias(f"_vo_{i}") for i, c in enumerate(version_order)
+    ]
+    null_vo = [
+        F.lit(None).cast(history.schema[c].dataType).alias(f"_vo_{i}")
+        for i, c in enumerate(version_order)
+    ]
+    opens = history.select(
+        *keys,
+        F.col("valid_from").alias("_ets"),
+        F.lit(1).alias("_tag"),
+        F.struct(p_struct.alias("p")).alias("_m"),
+        *vo_cols,
+    )
+    clears = (
+        history.where(F.col("valid_to").isNotNull())
+        .select(
+            *keys,
+            F.col("valid_to").alias("_ets"),
+            F.lit(0).alias("_tag"),
+            # non-null outer, NULL inner: the clear must WIN the
+            # ignorenulls forward-fill yet yield a null payload
+            F.struct(
+                F.lit(None).cast(
+                    "struct<" + ",".join(
+                        f"{c}:{history.schema[c].dataType.simpleString()}"
+                        for c in payload
+                    ) + ">"
+                ).alias("p")
+            ).alias("_m"),
+            *null_vo,
+        )
+    )
+    fact_rows = facts.select(
+        "*",
+        F.col(fact_ts).alias("_ets"),
+        F.lit(2).alias("_tag"),
+        F.lit(None).cast(opens.schema["_m"].dataType).alias("_m"),
+        *[F.lit(None).cast(history.schema[c].dataType).alias(f"_vo_{i}")
+          for i, c in enumerate(version_order)],
+    )
+    unioned = fact_rows.unionByName(
+        opens.unionByName(clears), allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ets", "_tag", *[f"_vo_{i}" for i in range(len(version_order))])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn(
+        "_dim", F.last("_m", ignorenulls=True).over(w)
+    )
+    out_cols = [c for c in facts.columns] + [
+        F.col(f"_dim.p.{c}").alias(f"{prefix}{c}") for c in payload
+    ]
+    return filled.where(F.col("_tag") == 2).select(*out_cols)

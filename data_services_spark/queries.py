@@ -933,6 +933,70 @@ def scd2_transcript_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_temporal_enrich",
+    sql="""
+    WITH dimch AS (
+        SELECT event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ts,
+               printf('u%04d', user_id) AS uid,
+               props AS segment,
+               value AS score
+        FROM events WHERE event_id % 5 = 0
+    ), hist AS (
+        SELECT lsn, uid, segment, score, op, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY uid ORDER BY ts, lsn) AS valid_to
+        FROM dimch
+    ), versions AS (
+        SELECT * FROM hist
+        WHERE op <> 'D'
+          AND (valid_to IS NULL OR valid_to > valid_from)
+    ), facts AS (
+        SELECT event_id AS fid, printf('u%04d', user_id) AS uid, ts
+        FROM events WHERE event_id % 5 <> 0
+    )
+    SELECT f.fid, f.uid, f.ts,
+           v.segment AS dim_segment, v.score AS dim_score
+    FROM facts f
+    LEFT JOIN versions v
+      ON f.uid = v.uid AND f.ts >= v.valid_from
+     AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+    """,
+    doc="Event-time temporal enrichment (operators/scd.py:temporal_enrich): "
+        "every 5th event forms a dim change stream -> SCD2 version chains; "
+        "the remaining events are facts enriched with the dim version valid "
+        "at each fact's timestamp (Flink FLIP-132 event-time temporal table "
+        "join as a batch plan). The Spark side is union + ONE window "
+        "forward-fill — no join operator, no per-key cross product (plan "
+        "pinned by tests/test_scd2.py); the oracle is the naive "
+        "key-equality range join, which the windowed plan must equal "
+        "exactly, including same-instant version races and zero-length "
+        "versions.",
+)
+def scd2_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scd import scd2_history, temporal_enrich
+
+    ev = load(spark, sf_dir, "events")
+    dimch = ev.where(F.pmod("event_id", F.lit(5)) == 0).select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.format_string("u%04d", "user_id").alias("uid"),
+        F.col("props").alias("segment"),
+        F.col("value").alias("score"),
+    )
+    hist = scd2_history(dimch, keys=["uid"])
+    facts = ev.where(F.pmod("event_id", F.lit(5)) != 0).select(
+        F.col("event_id").alias("fid"),
+        F.format_string("u%04d", "user_id").alias("uid"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    return temporal_enrich(
+        facts, hist, keys=["uid"], payload=["segment", "score"]
+    )
+
+
+@register(
     "engine_scd2_history",
     sql=f"""
     WITH changes AS (
@@ -4948,6 +5012,7 @@ def mongo_patch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # round-4 session-3 additions (never driver-verified)
     "engine_multi_table_route",
+    "scd2_temporal_enrich",
     # round-4 session-2 additions (never driver-verified)
     "aggregation_merge_state",
     "engine_aggregation_apply",

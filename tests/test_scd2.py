@@ -242,3 +242,111 @@ def test_scd2_as_streaming_view(spark, tmp_path):
     assert [r[7] for r in a] == [False, False, True]
     b = [r for r in got if r[0] == "b"]
     assert len(b) == 1 and b[0][6] == "delete" and not b[0][7]
+
+
+# ------------------------------------------------------- temporal enrichment
+
+
+def _history(spark):
+    """Dim history with update/delete/resurrect and a same-instant race."""
+    from data_services_spark.operators.scd import scd2_history
+
+    ch = _changes(spark, [
+        (0, "U", 10, "a", 0, "user", "v1"),
+        (1, "U", 20, "a", 0, "user", "v2"),     # closes v1
+        (2, "D", 30, "a", 0, None, None),       # delete at 30
+        (3, "U", 40, "a", 0, "user", "v3"),     # resurrect, open
+        (4, "U", 10, "b", 1, "user", "w1"),
+        (5, "U", 10, "b", 1, "user", "w2"),     # same ts, higher lsn wins
+        (6, "U", 50, "c", 2, "user", "x1"),
+        (7, "U", 60, "c", 2, "user", "x2"),     # opened and...
+        (8, "D", 60, "c", 2, None, None),       # ...deleted same instant
+    ])
+    return scd2_history(ch, keys=["conv_id", "turn_idx"])
+
+
+def _facts(spark):
+    rows = [
+        # (fid, conv_id, turn_idx, minute, expected_dim_text)
+        (0, "a", 0, 5, None),      # before first version
+        (1, "a", 0, 10, "v1"),     # exactly at valid_from -> new version
+        (2, "a", 0, 19, "v1"),
+        (3, "a", 0, 20, "v2"),     # boundary -> successor
+        (4, "a", 0, 30, None),     # at delete instant -> gone
+        (5, "a", 0, 35, None),     # between delete and resurrect
+        (6, "a", 0, 40, "v3"),
+        (7, "a", 0, 99, "v3"),     # open version
+        (8, "b", 1, 10, "w2"),     # same-instant race -> higher lsn
+        (9, "b", 1, 50, "w2"),
+        (10, "z", 9, 50, None),    # key with no history at all
+        (11, "c", 2, 55, "x1"),    # before the same-instant open+delete
+        (12, "c", 2, 60, None),    # zero-length x2 must never match
+        (13, "c", 2, 70, None),    # chain ended by the delete
+    ]
+    df = spark.createDataFrame(
+        [(fid, c, t, _ts(m), exp) for fid, c, t, m, exp in rows],
+        "fid long, conv_id string, turn_idx int, ts timestamp, expected string",
+    )
+    return df
+
+
+def test_temporal_enrich_semantics(spark):
+    from data_services_spark.operators.scd import temporal_enrich
+
+    out = temporal_enrich(
+        _facts(spark), _history(spark), keys=["conv_id", "turn_idx"],
+        payload=["text", "role"],
+    )
+    got = {r["fid"]: r["dim_text"] for r in out.collect()}
+    want = {r["fid"]: r["expected"] for r in _facts(spark).collect()}
+    assert got == want
+    assert out.count() == _facts(spark).count()  # left-join row preservation
+
+
+def test_temporal_enrich_equals_range_join(spark):
+    """The windowed plan must equal the naive key-equality range join."""
+    from data_services_spark.operators.scd import temporal_enrich
+
+    facts, hist = _facts(spark), _history(spark)
+    out = temporal_enrich(
+        facts, hist, keys=["conv_id", "turn_idx"], payload=["text"])
+    # naive: LEFT JOIN on keys + [valid_from, valid_to) containment, with
+    # the same-instant version race resolved by max lsn
+    h = hist.select(
+        "conv_id", "turn_idx", "valid_from", "valid_to", "text", "lsn")
+    joined = facts.alias("f").join(
+        h.alias("h"),
+        on=[
+            F.col("f.conv_id") == F.col("h.conv_id"),
+            F.col("f.turn_idx") == F.col("h.turn_idx"),
+            F.col("f.ts") >= F.col("h.valid_from"),
+            F.col("h.valid_to").isNull() | (F.col("f.ts") < F.col("h.valid_to")),
+        ],
+        how="left",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("f.fid").orderBy(F.col("h.lsn").desc_nulls_last())
+    naive = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("f.fid").alias("fid"), F.col("h.text").alias("dim_text"))
+    )
+    got = {r["fid"]: r["dim_text"] for r in out.collect()}
+    want = {r["fid"]: r["dim_text"] for r in naive.collect()}
+    assert got == want
+
+
+def test_temporal_enrich_plan_has_no_join(spark):
+    """Scale contract: the plan is union + ONE window — no join operator,
+    no per-key cross product, exactly one exchange on the keys."""
+    from data_services_spark.operators.scd import temporal_enrich
+
+    hist = _history(spark).localCheckpoint(eager=True)  # isolate enrich plan
+    out = temporal_enrich(
+        _facts(spark), hist, keys=["conv_id", "turn_idx"])
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "Join" not in plan
+    n_exchanges = plan.count(") Exchange")
+    assert n_exchanges == 1, plan

@@ -96,6 +96,21 @@ def main(argv: list[str] | None = None) -> int:
                          "snapshot (dataset-release handle; tagged "
                          "snapshots survive --expire-keep until dropped)")
     ap.add_argument("--drop-tag", default=None, metavar="NAME")
+    ap.add_argument("--register-consumer", default=None, metavar="NAME",
+                    help="register a named downstream incremental reader "
+                         "at the CURRENT snapshot (Paimon consumer-id: "
+                         "position lives in table metadata; its snapshot "
+                         "survives --expire-keep until acked past)")
+    ap.add_argument("--consumer-from", type=int, default=None, metavar="SID",
+                    help="with --register-consumer: start at snapshot SID "
+                         "instead of current (0 = full-history replay)")
+    ap.add_argument("--ack-consumer", default=None, metavar="NAME:SID",
+                    help="advance consumer NAME's position to snapshot SID "
+                         "(monotonic; the consume/ack handshake's second "
+                         "half)")
+    ap.add_argument("--drop-consumer", default=None, metavar="NAME")
+    ap.add_argument("--consumer-lag", action="store_true",
+                    help="report each consumer's position vs current snapshot")
     ap.add_argument("--rollback-to", type=int, default=None, metavar="SID",
                     help="roll the table back to snapshot SID as a NEW "
                          "commit (metadata-only; offsets regress with the "
@@ -144,6 +159,26 @@ def main(argv: list[str] | None = None) -> int:
         if args.drop_tag:
             table.drop_tag(args.drop_tag)
             out["dropped_tag"] = args.drop_tag
+        if args.register_consumer:
+            out["registered_consumer"] = {
+                "name": args.register_consumer,
+                "snapshot_id": table.register_consumer(
+                    args.register_consumer, args.consumer_from
+                ),
+            }
+        if args.ack_consumer:
+            cname, _, sid = args.ack_consumer.rpartition(":")
+            table.ack_consumer(cname, int(sid))
+            out["acked_consumer"] = {"name": cname, "snapshot_id": int(sid)}
+        if args.drop_consumer:
+            table.drop_consumer(args.drop_consumer)
+            out["dropped_consumer"] = args.drop_consumer
+        if args.consumer_lag:
+            cur = table.current_snapshot_id()
+            out["consumer_lag"] = {
+                n: {"position": p, "current": cur, "lag_snapshots": cur - p}
+                for n, p in sorted(table.consumers().items())
+            }
         if args.rollback_to is not None:
             snap = table.rollback(args.rollback_to)
             out["rolled_back"] = {

@@ -1793,6 +1793,106 @@ class LakeTable:
             )
         return self.read(snapshot_id=tags[name], **kwargs)
 
+    # ------------------------------------------------------------- consumers
+
+    def _consumer_path(self, name: str) -> str:
+        return os.path.join(self._lake, f"consumer-{name}.json")
+
+    def register_consumer(self, name: str, snapshot_id: int | None = None) -> int:
+        """Register a named downstream incremental reader at a starting
+        position (default: current snapshot — 'consume changes from now
+        on'; pass 0 to replay the table's whole history as a changelog).
+
+        Paimon's consumer-id mechanism: the consumer's position lives IN
+        the table's metadata, so (a) a restarted consumer resumes where it
+        acked, with no client-side checkpoint to lose, and (b)
+        ``expire_snapshots`` retains every position snapshot — the
+        changelog a lagging consumer still needs can never be GC'd out
+        from under it. Position files are O(1) metadata; nothing scales
+        with consumer count but one JSON file each."""
+        if not name or name != os.path.basename(name) or name.startswith("."):
+            raise ValueError(f"invalid consumer name {name!r}")
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        try:
+            self.snapshot(sid)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot {sid} does not exist on table {self.path} — "
+                "cannot start a consumer there"
+            ) from None
+        tmp = os.path.join(self._lake, f".consumer.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "snapshot_id": sid}, f)
+        try:
+            os.link(tmp, self._consumer_path(name))  # O_EXCL claim
+        except FileExistsError:
+            os.remove(tmp)
+            raise ValueError(
+                f"consumer {name!r} already registered (at snapshot "
+                f"{self.consumers()[name]}); drop_consumer first"
+            ) from None
+        os.remove(tmp)
+        return sid
+
+    def consumers(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for fn in os.listdir(self._lake):
+            if fn.startswith("consumer-") and fn.endswith(".json"):
+                with open(os.path.join(self._lake, fn)) as f:
+                    d = json.load(f)
+                out[d["name"]] = int(d["snapshot_id"])
+        return out
+
+    def consume(
+        self, name: str, with_before: bool = False,
+    ) -> tuple[DataFrame, int]:
+        """The named consumer's pending changelog: ``(changes, to_id)``
+        where ``changes`` is ``changes_between(position, current)`` and
+        ``to_id`` is the snapshot the consumer should ``ack_consumer`` to
+        AFTER it has durably processed the batch — consume/ack is the
+        at-least-once handshake (a crash between the two re-reads the
+        same window; the diff-shaped changelog is idempotent to re-apply,
+        same as the engine's own chunk replay)."""
+        pos = self.consumers().get(name)
+        if pos is None:
+            raise KeyError(
+                f"no consumer {name!r} on table {self.path} "
+                f"(consumers: {sorted(self.consumers())})"
+            )
+        to_id = self.current_snapshot_id()
+        return self.changes_between(pos, to_id, with_before=with_before), to_id
+
+    def ack_consumer(self, name: str, snapshot_id: int) -> None:
+        """Advance the consumer's position (monotonic: a stale ack from a
+        zombie consumer instance cannot rewind a newer one's progress)."""
+        pos = self.consumers().get(name)
+        if pos is None:
+            raise KeyError(
+                f"no consumer {name!r} on table {self.path} "
+                f"(consumers: {sorted(self.consumers())})"
+            )
+        if snapshot_id < pos:
+            raise ValueError(
+                f"consumer {name!r} ack {snapshot_id} would rewind its "
+                f"position {pos} — stale ack rejected"
+            )
+        self.snapshot(snapshot_id)  # must exist
+        tmp = os.path.join(self._lake, f".consumer.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "snapshot_id": snapshot_id}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._consumer_path(name))  # atomic position flip
+
+    def drop_consumer(self, name: str) -> None:
+        try:
+            os.remove(self._consumer_path(name))
+        except FileNotFoundError:
+            raise KeyError(
+                f"no consumer {name!r} on table {self.path} "
+                f"(consumers: {sorted(self.consumers())})"
+            ) from None
+
     # -------------------------------------------------------------- rollback
 
     def rollback(self, snapshot_id: int) -> Snapshot:
@@ -2304,9 +2404,15 @@ class LakeTable:
         snaps = self.snapshots()
         if len(snaps) <= keep_last:
             return []
-        pinned = {
-            self.staged_manifest(w)["base_id"] for w in self.list_staged()
-        } | set(self.tags().values())
+        pinned = (
+            {self.staged_manifest(w)["base_id"] for w in self.list_staged()}
+            | set(self.tags().values())
+            # a lagging consumer's position snapshot is the FROM side of
+            # its next changes_between — GC'ing it would strand the
+            # consumer with no resume point (Paimon retains consumer refs
+            # the same way)
+            | set(self.consumers().values())
+        )
         retained = [
             s for s in snaps[-keep_last:] if s.snapshot_id not in pinned
         ] + [s for s in snaps if s.snapshot_id in pinned]
@@ -2362,6 +2468,7 @@ class LakeTable:
             "batch_id": snap.summary.get("batch_id"),
             "staged_wap_ids": self.list_staged(),
             "tags": self.tags(),
+            "consumers": self.consumers(),
         }
 
     def remove_orphan_files(self, older_than_sec: float = 86400.0) -> list[str]:

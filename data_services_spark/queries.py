@@ -1440,6 +1440,77 @@ def engine_multi_table_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "engine_consumer_mirror",
+    sql=f"""
+    WITH changes AS (
+        SELECT event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ts,
+               printf('u%04d', user_id) AS conv_id,
+               CAST(event_id % 37 AS INTEGER) AS turn_idx,
+               {_ROLE_CASE} AS role,
+               props AS text,
+               event_type AS tool
+        FROM events
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="Consumer-group changelog subscription through the REAL engine "
+        "(LakeTable.register_consumer/consume/ack_consumer — Paimon "
+        "consumer-id parity): the stream replays into a source table in "
+        "two windows; after each window a registered consumer reads its "
+        "pending changelog (changes_between from its metadata-held "
+        "position) and applies it to a MIRROR table as one epoch, then "
+        "acks. Returned rows are the MIRROR's final state (lsn excluded: "
+        "the changelog assigns transport LSNs); oracle = one LWW pass "
+        "over all events — two consume/ack hops must lose nothing. "
+        "tests/test_consumers.py pins the at-least-once handshake, lag "
+        "retention through expiry, and zombie-ack rejection.",
+)
+def engine_consumer_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+    from .cdc.schemas import KEY_COLS, ORDER_COLS, TRANSCRIPTS_SCHEMA
+    from .lake.table import LakeTable
+
+    scratch = tempfile.mkdtemp(prefix="q_consumer_")
+    stream = _engine_change_stream(spark, sf_dir)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    src_applier = CdcApplier.bootstrap(spark, scratch, bucket_count=8)
+    src = src_applier.target
+    mirror = LakeTable.create(
+        spark, f"{scratch}/mirror", TRANSCRIPTS_SCHEMA, KEY_COLS, 8,
+        props={"merge_keys": KEY_COLS, "order_cols": ORDER_COLS},
+    )
+    src.register_consumer("mirror")  # at the empty bootstrap snapshot
+
+    def sync() -> None:
+        ch, to_id = src.consume("mirror")
+        applier = CdcApplier(
+            spark, mirror, with_lineage=False, compact_threshold=None)
+        cols = [f.name for f in TRANSCRIPTS_SCHEMA.fields]
+        applier.apply_chunk(
+            ch.select(*cols, "op"), lo=-1, hi=None,
+            batch_id=to_id, epoch=to_id,
+        )
+        src.ack_consumer("mirror", to_id)
+
+    src_applier.replay(stream, chunk_size=hi + 1, source_hi=hi // 2)
+    sync()
+    src_applier.replay(stream, chunk_size=hi + 1)
+    sync()
+    out = mirror.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    return _materialize_and_clean(out, scratch)
+
+
+@register(
     "engine_zorder_scan",
     sql=f"""
     WITH changes AS (
@@ -5013,6 +5084,7 @@ _DRIVER_PRIORITY = [
     # round-4 session-3 additions (never driver-verified)
     "engine_multi_table_route",
     "scd2_temporal_enrich",
+    "engine_consumer_mirror",
     # round-4 session-2 additions (never driver-verified)
     "aggregation_merge_state",
     "engine_aggregation_apply",

@@ -96,6 +96,15 @@ def main(argv: list[str] | None = None) -> int:
                          "snapshot (dataset-release handle; tagged "
                          "snapshots survive --expire-keep until dropped)")
     ap.add_argument("--drop-tag", default=None, metavar="NAME")
+    ap.add_argument("--create-branch", default=None, metavar="NAME",
+                    help="fork a named branch at the current snapshot "
+                         "(one pointer file over the shared snapshot DAG; "
+                         "open with LakeTable(..., branch=NAME) or "
+                         "replay_job --branch)")
+    ap.add_argument("--fast-forward", default=None, metavar="NAME",
+                    help="advance MAIN to branch NAME's head (refuses if "
+                         "main diverged since the fork)")
+    ap.add_argument("--drop-branch", default=None, metavar="NAME")
     ap.add_argument("--register-consumer", default=None, metavar="NAME",
                     help="register a named downstream incremental reader "
                          "at the CURRENT snapshot (Paimon consumer-id: "
@@ -159,6 +168,19 @@ def main(argv: list[str] | None = None) -> int:
         if args.drop_tag:
             table.drop_tag(args.drop_tag)
             out["dropped_tag"] = args.drop_tag
+        if args.create_branch:
+            out["created_branch"] = {
+                "name": args.create_branch,
+                "snapshot_id": table.create_branch(args.create_branch),
+            }
+        if args.fast_forward:
+            out["fast_forwarded"] = {
+                "name": args.fast_forward,
+                "snapshot_id": table.fast_forward(args.fast_forward),
+            }
+        if args.drop_branch:
+            table.drop_branch(args.drop_branch)
+            out["dropped_branch"] = args.drop_branch
         if args.register_consumer:
             out["registered_consumer"] = {
                 "name": args.register_consumer,

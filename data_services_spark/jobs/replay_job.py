@@ -58,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
                          " this (0 disables auto-compaction)")
     ap.add_argument("--compact-at-end", action="store_true",
                     help="leave the table fully read-optimised after replay")
+    ap.add_argument("--branch", default=None, metavar="NAME",
+                    help="replay INTO the named branch of an existing "
+                         "table (create with maintain_job "
+                         "--create-branch): commits and offsets advance "
+                         "the branch head; main is untouched until "
+                         "--fast-forward")
     ap.add_argument("--cpus", type=int, default=None, help="local[N] (local mode only)")
     ap.add_argument("--no-lineage", action="store_true")
     ap.add_argument("--report", action="store_true",
@@ -101,7 +107,19 @@ def main(argv: list[str] | None = None) -> int:
         mode=args.apply_mode,
         compact_threshold=args.compact_threshold or None,
     )
-    if LakeTable.exists(f"{args.root}/transcripts"):
+    if args.branch:
+        if not LakeTable.exists(f"{args.root}/transcripts"):
+            ap.error("--branch needs an existing table (bootstrap main first)")
+        applier = CdcApplier(
+            spark,
+            LakeTable(spark, f"{args.root}/transcripts", branch=args.branch),
+            LakeTable(spark, f"{args.root}/lineage"),
+            LakeTable(spark, f"{args.root}/quarantine"),
+            (LakeTable(spark, f"{args.root}/metrics")
+             if LakeTable.exists(f"{args.root}/metrics") else None),
+            **kwargs,
+        )
+    elif LakeTable.exists(f"{args.root}/transcripts"):
         applier = CdcApplier.load(spark, args.root, **kwargs)
     else:
         applier = CdcApplier.bootstrap(

@@ -454,12 +454,26 @@ def _agg_fold(
 class LakeTable:
     """A snapshot-versioned, hash-bucketed parquet table."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, branch: str | None = None):
+        """``branch`` opens the table ON a named branch (see
+        :meth:`create_branch`): reads resolve at the branch head and every
+        commit verb advances the branch ref instead of main's ``CURRENT``.
+        The snapshot DAG is shared — a branch is one extra pointer file,
+        zero data copies (Iceberg/Paimon branch refs)."""
         self.spark = spark
         self.path = os.path.abspath(path)
         self._lake = os.path.join(self.path, _LAKE_DIR)
+        self.branch = branch
+        self._current_file = _CURRENT if branch is None else f"BRANCH-{branch}"
         if not os.path.exists(os.path.join(self._lake, _CURRENT)):
             raise TableNotFound(self.path)
+        if branch is not None and not os.path.exists(
+            os.path.join(self._lake, self._current_file)
+        ):
+            raise ValueError(
+                f"no branch {branch!r} on table {self.path} "
+                f"(branches: {sorted(self.branches())})"
+            )
 
     # ---------------------------------------------------------------- create
     @classmethod
@@ -536,17 +550,30 @@ class LakeTable:
             os.fsync(f.fileno())
 
     @staticmethod
-    def _flip_current(lake_dir: str, snapshot_id: int) -> None:
+    def _flip_current(
+        lake_dir: str, snapshot_id: int, current_name: str = _CURRENT
+    ) -> None:
         tmp = os.path.join(lake_dir, f".current.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             f.write(str(snapshot_id))
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(lake_dir, _CURRENT))  # atomic on POSIX
+        os.replace(tmp, os.path.join(lake_dir, current_name))  # atomic on POSIX
 
     def current_snapshot_id(self) -> int:
-        with open(os.path.join(self._lake, _CURRENT)) as f:
+        with open(os.path.join(self._lake, self._current_file)) as f:
             return int(f.read().strip())
+
+    def _next_snapshot_id(self) -> int:
+        """Branch-safe id allocation: ids are unique across the whole DAG
+        (max existing + 1), so main and branches never mint the same id;
+        the O_EXCL manifest write arbitrates races and retry_commit
+        re-allocates."""
+        ids = [
+            int(n[1:-5]) for n in os.listdir(self._lake)
+            if n.startswith("v") and n.endswith(".json")
+        ]
+        return max(ids, default=-1) + 1
 
     def snapshot(self, snapshot_id: int | None = None) -> Snapshot:
         sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
@@ -554,6 +581,26 @@ class LakeTable:
             return Snapshot.from_json(json.load(f))
 
     def snapshots(self) -> list[Snapshot]:
+        """THIS ref's history: the parent-chain ancestry of the current
+        head, oldest first. On main that is main's line; on a branch it is
+        the shared prefix + the branch's own commits — another branch's
+        commits never appear (the DAG is shared, histories are not)."""
+        chain: list[Snapshot] = []
+        sid: int | None = self.current_snapshot_id()
+        while sid is not None:
+            try:
+                s = self.snapshot(sid)
+            except FileNotFoundError:
+                break  # older ancestry expired
+            chain.append(s)
+            sid = s.parent_id
+        chain.reverse()
+        return chain
+
+    def all_snapshots(self) -> list[Snapshot]:
+        """Every manifest in the DAG regardless of ref (file-liveness
+        computations must see all branches; history listings should use
+        ``snapshots()``)."""
         out = []
         for name in sorted(os.listdir(self._lake)):
             if name.startswith("v") and name.endswith(".json"):
@@ -969,7 +1016,7 @@ class LakeTable:
         deltas = prev.delta_files if delta_files is None else delta_files
         next_props = {**prev.props, **(props_update or {})}
         snap = Snapshot(
-            snapshot_id=parent + 1,
+            snapshot_id=self._next_snapshot_id(),
             parent_id=parent,
             operation=operation,
             schema_json=schema.jsonValue(),
@@ -982,7 +1029,7 @@ class LakeTable:
             file_col_stats=self._carry_col_stats(prev, merged, next_props),
         )
         self._write_snapshot(self._lake, snap)
-        self._flip_current(self._lake, snap.snapshot_id)
+        self._flip_current(self._lake, snap.snapshot_id, self._current_file)
         return snap
 
     def _carry_col_stats(
@@ -1681,7 +1728,7 @@ class LakeTable:
         man = self.staged_manifest(wap_id)
         staged_schema = T.StructType.fromJson(man["schema"])
         staged_files = {f for fs in man["new_files"].values() for f in fs}
-        if staged_files & {f for s in self.snapshots() for f in s.all_files()}:
+        if staged_files & {f for s in self.all_snapshots() for f in s.all_files()}:
             # a prior publish committed these files but crashed before
             # removing the manifest — republish is the manifest removal
             os.remove(self._staged_path(wap_id))
@@ -1720,7 +1767,7 @@ class LakeTable:
         crashed before removing the manifest), only the stale manifest is
         removed — abandoning after publish must never delete live data."""
         man = self.staged_manifest(wap_id)
-        live = {f for s in self.snapshots() for f in s.all_files()}
+        live = {f for s in self.all_snapshots() for f in s.all_files()}
         staged_files = {f for fs in man["new_files"].values() for f in fs}
         if staged_files & live:
             os.remove(self._staged_path(wap_id))
@@ -1792,6 +1839,104 @@ class LakeTable:
                 f"no tag {name!r} on table {self.path} (tags: {sorted(tags)})"
             )
         return self.read(snapshot_id=tags[name], **kwargs)
+
+    # -------------------------------------------------------------- branches
+
+    def _branch_path(self, name: str) -> str:
+        return os.path.join(self._lake, f"BRANCH-{name}")
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> int:
+        """Fork a named branch at a snapshot (default: this ref's head).
+        A branch is ONE pointer file over the shared snapshot DAG — zero
+        data copied (Iceberg/Paimon branch refs). Open it with
+        ``LakeTable(spark, path, branch=name)``: every commit verb then
+        advances the branch head; main is untouched until
+        ``fast_forward``. The WAP staging area covers single-batch
+        audit-then-publish; a branch carries a multi-commit line of work
+        (backfills, migration dry-runs) with the full verb set available
+        on it."""
+        if not name or name != os.path.basename(name) or name.startswith("."):
+            raise ValueError(f"invalid branch name {name!r}")
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        try:
+            self.snapshot(sid)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot {sid} does not exist on table {self.path} — "
+                "cannot branch there"
+            ) from None
+        tmp = os.path.join(self._lake, f".branch.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(sid))
+        try:
+            os.link(tmp, self._branch_path(name))  # O_EXCL claim
+        except FileExistsError:
+            os.remove(tmp)
+            raise ValueError(
+                f"branch {name!r} already exists (head "
+                f"{self.branches()[name]}); drop_branch first"
+            ) from None
+        os.remove(tmp)
+        return sid
+
+    def branches(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for fn in os.listdir(self._lake):
+            if fn.startswith("BRANCH-"):
+                with open(os.path.join(self._lake, fn)) as f:
+                    out[fn[len("BRANCH-"):]] = int(f.read().strip())
+        return out
+
+    def branch_table(self, name: str) -> "LakeTable":
+        """Open this table ON the named branch."""
+        return LakeTable(self.spark, self.path, branch=name)
+
+    def _ancestry_ids(self, head: int) -> set[int]:
+        out: set[int] = set()
+        sid: int | None = head
+        while sid is not None and sid not in out:
+            try:
+                s = self.snapshot(sid)
+            except FileNotFoundError:
+                break
+            out.add(sid)
+            sid = s.parent_id
+        return out
+
+    def fast_forward(self, name: str) -> int:
+        """Advance MAIN to the branch head — the merge verb for a branch
+        whose base is still main's head's ancestor (no divergence). A
+        diverged main refuses: replay the branch's work onto current main
+        instead (the engine's apply loop is the rebase), or rollback main
+        first. Metadata-only, atomic."""
+        if self.branch is not None:
+            raise ValueError("fast_forward runs on the MAIN handle")
+        heads = self.branches()
+        if name not in heads:
+            raise KeyError(
+                f"no branch {name!r} on table {self.path} "
+                f"(branches: {sorted(heads)})"
+            )
+        head = heads[name]
+        cur = self.current_snapshot_id()
+        if cur == head:
+            return head
+        if cur not in self._ancestry_ids(head):
+            raise CommitConflict(
+                f"branch {name!r} (head {head}) does not contain main's "
+                f"head {cur} — diverged; fast-forward impossible"
+            )
+        self._flip_current(self._lake, head, _CURRENT)
+        return head
+
+    def drop_branch(self, name: str) -> None:
+        try:
+            os.remove(self._branch_path(name))
+        except FileNotFoundError:
+            raise KeyError(
+                f"no branch {name!r} on table {self.path} "
+                f"(branches: {sorted(self.branches())})"
+            ) from None
 
     # ------------------------------------------------------------- consumers
 
@@ -1929,11 +2074,19 @@ class LakeTable:
                 f"are gone; earliest retained: "
                 f"{self.snapshots()[0].snapshot_id}"
             ) from None
+        # ancestry membership, not id comparison: with branches the id
+        # space is DAG-global, so a smaller id is not necessarily on this
+        # ref's line
+        if snapshot_id not in self._ancestry_ids(cur):
+            raise ValueError(
+                f"rollback target {snapshot_id} is not an ancestor of "
+                f"current snapshot {cur} — rollback only moves backwards"
+            )
 
         def attempt() -> Snapshot:
             parent = self.current_snapshot_id()
             snap = Snapshot(
-                snapshot_id=parent + 1,
+                snapshot_id=self._next_snapshot_id(),
                 parent_id=parent,
                 operation="rollback",
                 schema_json=target.schema_json,
@@ -1947,7 +2100,7 @@ class LakeTable:
                 file_col_stats=target.file_col_stats,
             )
             self._write_snapshot(self._lake, snap)
-            self._flip_current(self._lake, snap.snapshot_id)
+            self._flip_current(self._lake, snap.snapshot_id, self._current_file)
             return snap
 
         return retry_commit(attempt)
@@ -2401,9 +2554,12 @@ class LakeTable:
         ``read_staged`` while the auditor is still deciding. TAGGED
         snapshots are likewise retained until the tag is dropped — a
         dataset release stays readable forever."""
-        snaps = self.snapshots()
-        if len(snaps) <= keep_last:
-            return []
+        if self.branch is not None:
+            raise ValueError(
+                "expire_snapshots runs on the MAIN handle — branch "
+                "histories share main's snapshots; drop_branch (or "
+                "fast_forward) first, then expire from main"
+            )
         pinned = (
             {self.staged_manifest(w)["base_id"] for w in self.list_staged()}
             | set(self.tags().values())
@@ -2413,12 +2569,30 @@ class LakeTable:
             # the same way)
             | set(self.consumers().values())
         )
+        # every live branch pins its whole reachable ancestry: its head
+        # must stay readable, and reads at the head resolve files through
+        # ancestor manifests (Iceberg retains ref'd snapshots identically)
+        for head in self.branches().values():
+            pinned |= self._ancestry_ids(head)
+        # keep window = the last keep_last of MAIN's reachable ancestry;
+        # expiry candidates come from the FULL DAG listing, so snapshots a
+        # pin once retained (and a prior expiry's chain break then made
+        # unreachable) are GC'd the moment their pin is dropped, instead
+        # of leaking forever
+        keep_ids = {
+            s.snapshot_id for s in self.snapshots()[-keep_last:]
+        } if keep_last > 0 else {self.current_snapshot_id()}
+        all_snaps = self.all_snapshots()
         retained = [
-            s for s in snaps[-keep_last:] if s.snapshot_id not in pinned
-        ] + [s for s in snaps if s.snapshot_id in pinned]
-        expired = [
-            s for s in snaps[:-keep_last] if s.snapshot_id not in pinned
+            s for s in all_snaps
+            if s.snapshot_id in keep_ids or s.snapshot_id in pinned
         ]
+        expired = [
+            s for s in all_snaps
+            if s.snapshot_id not in keep_ids and s.snapshot_id not in pinned
+        ]
+        if not expired:
+            return []
         live = {f for s in retained for f in s.all_files()}
         removed_ids = []
         for s in expired:
@@ -2469,6 +2643,8 @@ class LakeTable:
             "staged_wap_ids": self.list_staged(),
             "tags": self.tags(),
             "consumers": self.consumers(),
+            "branch": self.branch,
+            "branches": self.branches(),
         }
 
     def remove_orphan_files(self, older_than_sec: float = 86400.0) -> list[str]:
@@ -2486,7 +2662,7 @@ class LakeTable:
         some expired snapshot referenced."""
         import time as _time
 
-        live = {f for s in self.snapshots() for f in s.all_files()}
+        live = {f for s in self.all_snapshots() for f in s.all_files()}
         # staged WAP batches are uncommitted BY DESIGN (audit in progress):
         # their files belong to no snapshot yet but are not orphans
         for wap_id in self.list_staged():

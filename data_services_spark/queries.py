@@ -1440,6 +1440,45 @@ def engine_multi_table_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "engine_branch_backfill",
+    sql=_engine_lww_oracle(_ROLE_CASE),
+    doc="Branch refs through the REAL engine (LakeTable branches — "
+        "Iceberg/Paimon branch parity): the first half of the stream "
+        "lands on main, a 'backfill' branch forks at that head, the "
+        "SECOND half replays through a CdcApplier opened ON the branch "
+        "(commits + offsets advance the branch ref; main's head and "
+        "offsets stay put), then fast_forward merges main to the branch "
+        "head — one metadata flip, no data copied. Oracle = one LWW pass "
+        "over all events: forking, branch-side replay and the "
+        "fast-forward must be invisible in the final state. "
+        "tests/test_branches.py pins isolation, divergence refusal, "
+        "ancestry-pinned expiry and DAG-global id allocation.",
+)
+def engine_branch_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+
+    scratch = tempfile.mkdtemp(prefix="q_branch_")
+    stream = _engine_change_stream(spark, sf_dir)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    applier = CdcApplier.bootstrap(spark, scratch, bucket_count=8)
+    applier.replay(stream, chunk_size=hi + 1, source_hi=hi // 2)
+    src = applier.target
+    main_head = src.current_snapshot_id()
+    src.create_branch("backfill")
+    b_applier = CdcApplier(
+        spark, src.branch_table("backfill"),
+        with_lineage=False, compact_threshold=16,
+    )
+    b_applier.replay(stream, chunk_size=hi + 1)
+    if src.current_snapshot_id() != main_head:  # isolation invariant
+        raise AssertionError("branch replay moved main's head")
+    src.fast_forward("backfill")
+    return _materialize_and_clean(src.read(), scratch)
+
+
+@register(
     "engine_consumer_mirror",
     sql=f"""
     WITH changes AS (
@@ -5085,6 +5124,7 @@ _DRIVER_PRIORITY = [
     "engine_multi_table_route",
     "scd2_temporal_enrich",
     "engine_consumer_mirror",
+    "engine_branch_backfill",
     # round-4 session-2 additions (never driver-verified)
     "aggregation_merge_state",
     "engine_aggregation_apply",

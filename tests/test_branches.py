@@ -1,0 +1,135 @@
+"""Branch refs: named mutable pointers over the shared snapshot DAG
+(Iceberg/Paimon branches) — isolated multi-commit lines of work with the
+full verb set, merged back by fast-forward."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_services_spark.lake import CommitConflict, LakeTable
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.StringType(), False),
+    T.StructField("v", T.StringType(), True),
+])
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rows(t):
+    return sorted(tuple(r) for r in t.read().collect())
+
+
+def test_branch_isolation_and_fast_forward(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, ["k"], bucket_count=4)
+    t.append(_df(spark, [("a", "x")]))
+    main_head = t.current_snapshot_id()
+
+    t.create_branch("backfill")
+    b = t.branch_table("backfill")
+    b.append(_df(spark, [("b", "y")]))
+    b.append(_df(spark, [("c", "z")]))
+
+    # branch sees its commits; main does not
+    assert _rows(b) == [("a", "x"), ("b", "y"), ("c", "z")]
+    assert _rows(t) == [("a", "x")]
+    assert t.current_snapshot_id() == main_head
+    # branch history = shared prefix + its own commits
+    assert [s.snapshot_id for s in t.snapshots()] == [
+        s.snapshot_id for s in b.snapshots()][:len(t.snapshots())]
+
+    # fast-forward main to the branch head (metadata-only merge)
+    head = t.fast_forward("backfill")
+    assert t.current_snapshot_id() == head
+    assert _rows(t) == [("a", "x"), ("b", "y"), ("c", "z")]
+    t.drop_branch("backfill")
+    assert t.branches() == {}
+
+
+def test_fast_forward_refuses_divergence(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, ["k"], bucket_count=4)
+    t.append(_df(spark, [("a", "x")]))
+    t.create_branch("wip")
+    b = t.branch_table("wip")
+    b.append(_df(spark, [("b", "y")]))
+    t.append(_df(spark, [("c", "z")]))  # main moves too -> diverged
+    with pytest.raises(CommitConflict):
+        t.fast_forward("wip")
+    # both lines remain intact and readable
+    assert _rows(t) == [("a", "x"), ("c", "z")]
+    assert _rows(b) == [("a", "x"), ("b", "y")]
+
+
+def test_branch_guards(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, ["k"], bucket_count=4)
+    with pytest.raises(ValueError):
+        t.create_branch("x", snapshot_id=99)
+    t.create_branch("x")
+    with pytest.raises(ValueError):
+        t.create_branch("x")  # duplicate
+    with pytest.raises(ValueError):
+        LakeTable(spark, tmp_table_dir, branch="ghost")
+    with pytest.raises(KeyError):
+        t.fast_forward("ghost")
+    with pytest.raises(KeyError):
+        t.drop_branch("ghost")
+    b = t.branch_table("x")
+    with pytest.raises(ValueError):
+        b.fast_forward("x")  # main-handle verb
+    with pytest.raises(ValueError):
+        b.expire_snapshots(keep_last=1)  # expiry runs on main
+
+
+def test_expiry_pins_branch_ancestry(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, ["k"], bucket_count=4)
+    t.append(_df(spark, [("a", "x")]))
+    fork = t.current_snapshot_id()
+    t.create_branch("old")
+    for i in range(6):
+        t.append(_df(spark, [(f"k{i}", "v")]))
+    removed = t.expire_snapshots(keep_last=2)
+    assert fork not in removed  # branch ancestry pinned
+    b = t.branch_table("old")
+    assert _rows(b) == [("a", "x")]  # still fully readable
+    t.drop_branch("old")
+    removed2 = t.expire_snapshots(keep_last=2)
+    assert fork in removed2  # unpinned once the branch is gone
+
+
+def test_branch_rollback_uses_ancestry_not_ids(spark, tmp_table_dir):
+    """With DAG-global ids, a branch snapshot's id can be numerically
+    smaller than main's head without being its ancestor — rollback must
+    refuse it."""
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, ["k"], bucket_count=4)
+    t.append(_df(spark, [("a", "x")]))
+    t.create_branch("side")
+    b = t.branch_table("side")
+    b.append(_df(spark, [("b", "y")]))   # allocates the next DAG id
+    t.append(_df(spark, [("c", "z")]))   # main head id > branch commit id
+    side_id = b.current_snapshot_id()
+    assert side_id < t.current_snapshot_id()
+    with pytest.raises(ValueError):
+        t.rollback(side_id)  # smaller id, but not on main's line
+    # a genuine ancestor still works
+    t.rollback(1)
+    assert _rows(t) == [("a", "x")]
+
+
+def test_branch_concurrent_commits_conflict_cleanly(spark, tmp_table_dir):
+    """Main and a branch committing 'simultaneously' race for the same
+    DAG id; the O_EXCL manifest write + retry re-allocation must let both
+    land with distinct ids."""
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, ["k"], bucket_count=4)
+    t.append(_df(spark, [("a", "x")]))
+    t.create_branch("side")
+    b = t.branch_table("side")
+    b.append(_df(spark, [("b", "y")]))
+    t.append(_df(spark, [("c", "z")]))
+    ids = [s.snapshot_id for s in t.all_snapshots()]
+    assert len(ids) == len(set(ids))
+    assert _rows(t) == [("a", "x"), ("c", "z")]
+    assert _rows(b) == [("a", "x"), ("b", "y")]

@@ -53,6 +53,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -123,6 +124,10 @@ class Snapshot:
     # prop, harvested ONCE from parquet footers at commit time so pruned
     # reads never open a footer (timestamps stored as ISO strings)
     file_col_stats: dict[str, dict[str, list]] = field(default_factory=dict)
+    # wall-clock commit instant (epoch seconds), stamped at manifest-write
+    # time — the resolution key for TIMESTAMP AS OF reads; None on
+    # manifests written before the field existed
+    committed_at: float | None = None
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -137,6 +142,7 @@ class Snapshot:
             "delta_files": self.delta_files,
             "props": self.props,
             "file_col_stats": self.file_col_stats,
+            "committed_at": self.committed_at,
         }
 
     @staticmethod
@@ -153,6 +159,7 @@ class Snapshot:
             delta_files=d.get("delta_files", {}),
             props=d.get("props", {}),
             file_col_stats=d.get("file_col_stats", {}),
+            committed_at=d.get("committed_at"),
         )
 
     @property
@@ -538,6 +545,8 @@ class LakeTable:
 
     @classmethod
     def _write_snapshot(cls, lake_dir: str, snap: Snapshot) -> None:
+        if snap.committed_at is None:
+            snap.committed_at = time.time()
         target = os.path.join(lake_dir, cls._snap_name(snap.snapshot_id))
         try:
             # O_EXCL: two writers racing for the same snapshot id -> one loses.
@@ -868,6 +877,54 @@ class LakeTable:
         )
         return self.read(snapshot_id=snap.snapshot_id, buckets=buckets).join(
             F.broadcast(kdf), on=list(snap.bucket_keys), how="left_semi"
+        )
+
+    def snapshot_as_of(self, ts: float) -> Snapshot:
+        """The current ref's latest snapshot committed at or before epoch
+        ``ts`` (``TIMESTAMP AS OF`` resolution; walks this ref's
+        ancestry). Manifests from before the ``committed_at`` field are
+        treated as infinitely old — they resolve only when nothing newer
+        qualifies."""
+        best = None
+        for s in self.snapshots():
+            at = s.committed_at if s.committed_at is not None else float("-inf")
+            if at <= ts:
+                best = s
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or before {ts} on table {self.path} "
+                "(earliest retained is newer — expired, or the table is "
+                "younger than the asked instant)"
+            )
+        return best
+
+    def read_as_of(self, ts: float, **kwargs: Any) -> DataFrame:
+        """Read the table ``TIMESTAMP AS OF`` epoch ``ts`` (Delta/Iceberg
+        timestamp time travel; pairs with ``read(snapshot_id=...)`` =
+        ``VERSION AS OF``)."""
+        return self.read(snapshot_id=self.snapshot_as_of(ts).snapshot_id,
+                         **kwargs)
+
+    def changes_between_tags(
+        self, from_tag: str, to_tag: str | None = None,
+        with_before: bool = False,
+    ) -> DataFrame:
+        """Incremental read between named refs (Paimon
+        ``incremental-between`` with tag names): the changelog from
+        ``from_tag``'s snapshot to ``to_tag``'s (default: current head) —
+        e.g. the row-level diff between two dataset releases."""
+        tags = self.tags()
+        if from_tag not in tags or (to_tag is not None and to_tag not in tags):
+            missing = [t for t in (from_tag, to_tag)
+                       if t is not None and t not in tags]
+            raise KeyError(
+                f"no tag(s) {missing} on table {self.path} "
+                f"(tags: {sorted(tags)})"
+            )
+        return self.changes_between(
+            tags[from_tag],
+            None if to_tag is None else tags[to_tag],
+            with_before=with_before,
         )
 
     def changes_between(

@@ -133,3 +133,44 @@ def test_branch_concurrent_commits_conflict_cleanly(spark, tmp_table_dir):
     assert len(ids) == len(set(ids))
     assert _rows(t) == [("a", "x"), ("c", "z")]
     assert _rows(b) == [("a", "x"), ("b", "y")]
+
+
+# ----------------------------- timestamp time travel + incremental-between
+
+
+def test_timestamp_as_of(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, ["k"], bucket_count=4)
+    t.append(_df(spark, [("a", "x")]))
+    ts1 = t.snapshot().committed_at
+    assert ts1 is not None
+    t.append(_df(spark, [("b", "y")]))
+    ts2 = t.snapshot().committed_at
+    assert ts2 >= ts1
+    # resolve strictly between the two commits -> first state
+    assert sorted(
+        tuple(r) for r in t.read_as_of(ts1).collect()
+    ) == [("a", "x")]
+    assert sorted(
+        tuple(r) for r in t.read_as_of(ts2 + 1).collect()
+    ) == [("a", "x"), ("b", "y")]
+    with pytest.raises(ValueError):
+        t.snapshot_as_of(ts1 - 1000)
+
+
+def test_changes_between_tags(spark, tmp_table_dir):
+    t = LakeTable.create(
+        spark, tmp_table_dir, SCHEMA, ["k"], bucket_count=4,
+        props={"merge_keys": ["k"]},
+    )
+    t.append(_df(spark, [("a", "x")]))
+    t.tag("rel1")
+    t.append(_df(spark, [("b", "y")]))
+    t.tag("rel2")
+    t.append(_df(spark, [("c", "z")]))
+
+    ch = t.changes_between_tags("rel1", "rel2")
+    assert sorted((r["k"], r["op"]) for r in ch.collect()) == [("b", "I")]
+    ch_head = t.changes_between_tags("rel2")  # to current head
+    assert sorted((r["k"], r["op"]) for r in ch_head.collect()) == [("c", "I")]
+    with pytest.raises(KeyError):
+        t.changes_between_tags("ghost")

@@ -796,6 +796,65 @@ class CdcApplier:
         q = quarantined.withColumn("batch_id", F.lit(batch_id).cast("long"))
         self.quarantine.append(q, summary={"batch_id": batch_id})
 
+    # ---------------------------------------------------------------- erase
+    def erase_subject(self, subject: dict[str, list]) -> dict:
+        """Right-to-be-forgotten sweep for a SUBJECT — a value set over a
+        prefix of the merge keys (e.g. ``{"conv_id": ["u0007"]}`` erases
+        every turn of those conversations):
+
+        1. one column-pruned scan of the target collects the subject's
+           full merge keys (the bucket hash covers every key column, so a
+           prefix cannot prune — this scan is the honest cost of a
+           subject-level request on a key-bucketed table);
+        2. ``LakeTable.erase`` rewrites the affected buckets without the
+           rows and plants payload-free anti-resurrection tombstones;
+        3. the quarantine lane is ``purge``d of the subject's raw events
+           (invalid events carry the payload too — a compliance sweep
+           that forgets the reject pile isn't one). Lineage and metrics
+           hold only counts, no payload, so they keep their audit value.
+
+        Old snapshots still reference the erased bytes until
+        ``expire_snapshots`` runs — the returned dict reminds the
+        operator (Iceberg/Delta have the identical two-step: DELETE then
+        VACUUM)."""
+        bad = [c for c in subject if c not in self.keys]
+        if bad:
+            raise ValueError(
+                f"subject columns {bad} are not merge keys {self.keys}"
+            )
+        cond = None
+        for c, vals in subject.items():
+            term = F.col(c).isin(*vals)
+            cond = term if cond is None else (cond & term)
+        keys = (
+            self.target.read()
+            .where(cond)
+            .select(*self.target.bucket_keys)
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        res_t = self.target.erase(keys, summary={"erase_subject": subject})
+        res_q = {"purged": 0}
+        if self.quarantine is not None:
+            # quarantine purge matches on the subject columns directly
+            # (its raw events carry them); conjunctive subject = the
+            # cartesian product of the per-column value lists
+            import itertools
+
+            cols = list(subject.keys())
+            rows = [
+                dict(zip(cols, combo))
+                for combo in itertools.product(*subject.values())
+            ]
+            res_q = self.quarantine.purge(
+                rows, key_cols=cols, summary={"erase_subject": subject},
+            )
+        return {
+            "target_erased": res_t["erased"],
+            "quarantine_purged": res_q["purged"],
+            "note": "historic snapshots retain bytes until expire_snapshots",
+        }
+
     # ---------------------------------------------------------------- requeue
     def requeue_quarantine(self) -> dict:
         """Re-drive quarantined events under the CURRENT validator: rows

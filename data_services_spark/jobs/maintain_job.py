@@ -96,6 +96,14 @@ def main(argv: list[str] | None = None) -> int:
                          "snapshot (dataset-release handle; tagged "
                          "snapshots survive --expire-keep until dropped)")
     ap.add_argument("--drop-tag", default=None, metavar="NAME")
+    ap.add_argument("--erase-subject", action="append", default=None,
+                    metavar="COL:V1,V2",
+                    help="right-to-be-forgotten sweep: physically rewrite "
+                         "the subject's rows out of the target (with "
+                         "anti-resurrection tombstones) and purge its raw "
+                         "events from quarantine; repeat the flag for a "
+                         "conjunctive multi-column subject; follow with "
+                         "--expire-keep to sweep historic snapshots")
     ap.add_argument("--create-branch", default=None, metavar="NAME",
                     help="fork a named branch at the current snapshot "
                          "(one pointer file over the shared snapshot DAG; "
@@ -135,6 +143,20 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("maintain_job", cpus=args.cpus)
 
     rc = 0
+    if args.erase_subject:
+        from data_services_spark.cdc.apply import CdcApplier
+
+        subject = {}
+        for spec in args.erase_subject:
+            col, _, vals = spec.partition(":")
+            if not col or not vals:
+                ap.error(f"--erase-subject wants COL:V1,V2 — got {spec!r}")
+            subject[col] = vals.split(",")
+        t0 = time.monotonic()
+        res = CdcApplier.load(spark, args.root).erase_subject(subject)
+        res.update(job="erase_subject", subject=subject,
+                   wall_sec=round(time.monotonic() - t0, 3))
+        print(json.dumps(res))
     if args.requeue_quarantine:
         from data_services_spark.cdc.apply import CdcApplier
 

@@ -840,6 +840,16 @@ class LakeTable:
         key column). The key set is broadcast; LWW delta resolution and
         tombstone semantics are ``read``'s, unchanged."""
         snap = self.snapshot()
+        kdf, buckets = self._key_frame(snap, keys)
+        return self.read(snapshot_id=snap.snapshot_id, buckets=buckets).join(
+            F.broadcast(kdf), on=list(snap.bucket_keys), how="left_semi"
+        )
+
+    def _key_frame(
+        self, snap: Snapshot, keys: DataFrame | list[dict],
+    ) -> tuple[DataFrame, list[int]]:
+        """Normalize an explicit key set to (typed key frame, the distinct
+        buckets those keys hash to)."""
         if isinstance(keys, list):
             present = set().union(*(d.keys() for d in keys)) if keys else set()
         else:
@@ -875,9 +885,137 @@ class LakeTable:
                              snap.bucket_fn).alias("b")
             ).distinct().collect()
         )
-        return self.read(snapshot_id=snap.snapshot_id, buckets=buckets).join(
-            F.broadcast(kdf), on=list(snap.bucket_keys), how="left_semi"
+        return kdf, buckets
+
+    def erase(
+        self,
+        keys: DataFrame | list[dict],
+        summary: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Right-to-be-forgotten erasure for an explicit set of full merge
+        keys: PHYSICALLY rewrite the affected buckets without the rows
+        (no payload byte survives in any current data file), and plant a
+        payload-free delete tombstone per erased row so a late
+        out-of-order event carrying the erased content (older event time,
+        higher LSN — at-least-once transports produce these) cannot
+        resurrect it. Tombstones are stamped at the erased row's own
+        ``(order_cols)`` with the final order column bumped by one: they
+        outrank the erased row and any staler event, while a GENUINELY
+        new event (newer event time) still wins — erasure blocks the
+        past, not the future.
+
+        Cost: O(affected buckets) copy-on-write — the ``lookup`` bucket
+        mapping prunes the rewrite to the buckets the keys hash to.
+        Old snapshots still reference the erased bytes until
+        ``expire_snapshots`` sweeps them, and quarantine/lineage lanes
+        are separate tables — ``CdcApplier.erase_subject`` runs the
+        whole compliance sweep. LWW tables only: under first_row (FWW)
+        or aggregation semantics a tombstone cannot durably win, so
+        those engines refuse.
+
+        Reference analogue: the manual "remove the bad channel's files
+        and reindex" loop (``aims_realtime_util.py`` wip/errors
+        handling) — here one atomic commit with an anti-resurrection
+        guarantee."""
+        snap = self.snapshot()
+        engine = snap.props.get("merge_engine", "lww")
+        if engine != "lww":
+            raise ValueError(
+                f"erase needs LWW resolution to make tombstones durable; "
+                f"this table's merge_engine is {engine!r} (a first-row or "
+                "aggregation fold cannot let a later delete win)"
+            )
+        order = list(snap.props.get("order_cols", []))
+        if not order:
+            raise ValueError(
+                "erase needs order_cols on the table to stamp tombstones"
+            )
+        last_t = snap.schema[order[-1]].dataType
+        if not isinstance(last_t, (T.LongType, T.IntegerType)):
+            raise ValueError(
+                f"erase stamps tombstones at (order_cols) with the final "
+                f"column bumped by 1; {order[-1]} is {last_t.simpleString()}, "
+                "not integral"
+            )
+        kdf, buckets = self._key_frame(snap, keys)
+        keycols = list(snap.bucket_keys)
+        cur = self.read(
+            snapshot_id=snap.snapshot_id, buckets=buckets, keep_tombstones=True
         )
+        matched = cur.join(F.broadcast(kdf), on=keycols, how="left_semi")
+        remaining = cur.join(F.broadcast(kdf), on=keycols, how="left_anti")
+        victims = matched.where(
+            F.coalesce(F.col("op"), F.lit("K")) != "D"
+        ).localCheckpoint(eager=True)
+        n = victims.count()
+        payload = [
+            f.name for f in snap.schema.fields
+            if f.name not in keycols and f.name not in order
+        ]
+        tombstones = victims.select(
+            *keycols,
+            *[F.col(c) for c in order[:-1]],
+            (F.col(order[-1]) + F.lit(1)).cast(last_t).alias(order[-1]),
+            *[F.lit(None).cast(snap.schema[c].dataType).alias(c)
+              for c in payload],
+            F.lit("D").alias("op"),
+        )
+        existing = [f.name for f in snap.schema.fields]
+        new_content = remaining.select(*existing, "op").unionByName(
+            tombstones.select(*existing, "op")
+        )
+        new_snap = self.replace_buckets(
+            new_content, buckets,
+            summary={**snap.summary, **(summary or {}), "erased_rows": n},
+            sort_cols=keycols,
+            expected_parent=snap.snapshot_id,
+            props_update={"base_tombstones": True} if n else None,
+        )
+        return {"erased": n, "buckets": buckets,
+                "snapshot_id": new_snap.snapshot_id}
+
+    def purge(
+        self,
+        keys: DataFrame | list[dict],
+        key_cols: list[str],
+        summary: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Plain physical delete of rows matching ``key_cols`` values —
+        no tombstones, no merge semantics — for side tables that are not
+        LWW-resolved (quarantine, lineage): the compliance sweep must
+        scrub a subject's raw events out of the quarantine lane too.
+        ``key_cols`` need not be the table's bucket keys, so the match is
+        a scan of the table (side lanes are small by design — bounded by
+        the invalid-event rate) with the buckets that contain matches
+        rewritten copy-on-write."""
+        snap = self.snapshot()
+        if isinstance(keys, list):
+            kdf = self.spark.createDataFrame(keys).select(*key_cols)
+        else:
+            kdf = keys.select(*key_cols)
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        kdf = kdf.select(
+            *[F.col(k).cast(types[k]).alias(k) for k in key_cols]
+        ).dropDuplicates()
+        cur = self.read(snapshot_id=snap.snapshot_id)
+        hit_buckets = sorted(
+            int(r["_b"]) for r in cur.join(
+                F.broadcast(kdf), on=key_cols, how="left_semi"
+            ).select(self.bucket_col().alias("_b")).distinct().collect()
+        )
+        if not hit_buckets:
+            return {"purged": 0, "buckets": [],
+                    "snapshot_id": snap.snapshot_id}
+        slice_ = self.read(snapshot_id=snap.snapshot_id, buckets=hit_buckets)
+        kept = slice_.join(F.broadcast(kdf), on=key_cols, how="left_anti")
+        n = slice_.count() - kept.count()
+        new_snap = self.replace_buckets(
+            kept, hit_buckets,
+            summary={**snap.summary, **(summary or {}), "purged_rows": n},
+            expected_parent=snap.snapshot_id,
+        )
+        return {"purged": n, "buckets": hit_buckets,
+                "snapshot_id": new_snap.snapshot_id}
 
     def snapshot_as_of(self, ts: float) -> Snapshot:
         """The current ref's latest snapshot committed at or before epoch

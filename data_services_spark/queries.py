@@ -1440,6 +1440,65 @@ def engine_multi_table_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "engine_gdpr_erase",
+    sql=f"""
+    WITH changes AS (
+        SELECT event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ts,
+               printf('u%04d', user_id) AS conv_id,
+               CAST(event_id % 37 AS INTEGER) AS turn_idx,
+               {_ROLE_CASE} AS role,
+               props AS text,
+               event_type AS tool
+        FROM events
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts, lsn
+    FROM ranked
+    WHERE rn = 1 AND op <> 'D'
+      AND conv_id NOT IN ('u0007', 'u0013')
+    """,
+    doc="Right-to-be-forgotten sweep through the REAL engine "
+        "(LakeTable.erase + CdcApplier.erase_subject): after the full "
+        "replay, two conversations are erased — affected buckets rewritten "
+        "copy-on-write without the rows, payload-free tombstones planted "
+        "at (erased row's ts, lsn+1) — then a straggler chunk redelivers "
+        "STALE events (older event time, higher lsn) for the erased "
+        "subjects, which the tombstones must repel. Oracle = the LWW fold "
+        "excluding the erased conversations (the stale stragglers lose "
+        "the LWW race everywhere else too). tests/test_erase.py pins the "
+        "physical byte-removal, quarantine purge, and the "
+        "block-the-past/allow-the-future contract.",
+)
+def engine_gdpr_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+
+    scratch = tempfile.mkdtemp(prefix="q_erase_")
+    stream = _engine_change_stream(spark, sf_dir)
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    applier = CdcApplier.bootstrap(spark, scratch, bucket_count=8)
+    applier.replay(stream, chunk_size=hi + 1)
+    applier.erase_subject({"conv_id": ["u0007", "u0013"]})
+    # straggler chunk: STALE data for the erased subjects — strictly older
+    # event times under fresh transport LSNs — must bounce off the
+    # tombstones. (An equal-or-newer event time would legitimately win:
+    # LWW cannot, and should not, distinguish it from a new write.)
+    stale = (
+        stream.where(F.col("conv_id").isin("u0007", "u0013"))
+        .withColumn("lsn", F.col("lsn") + F.lit(hi) + 1)
+        .withColumn("ts", F.col("ts") - F.expr("INTERVAL 365 DAYS"))
+    )
+    applier.replay(stale, chunk_size=10**12)
+    return _materialize_and_clean(applier.target.read(), scratch)
+
+
+@register(
     "engine_branch_backfill",
     sql=_engine_lww_oracle(_ROLE_CASE),
     doc="Branch refs through the REAL engine (LakeTable branches — "
@@ -5125,6 +5184,7 @@ _DRIVER_PRIORITY = [
     "scd2_temporal_enrich",
     "engine_consumer_mirror",
     "engine_branch_backfill",
+    "engine_gdpr_erase",
     # round-4 session-2 additions (never driver-verified)
     "aggregation_merge_state",
     "engine_aggregation_apply",

@@ -50,6 +50,7 @@ declarative DataFrame writes — no RDDs, no per-row Python.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import shutil
@@ -2841,6 +2842,78 @@ class LakeTable:
             "branch": self.branch,
             "branches": self.branches(),
         }
+
+    def metadata_table(self, kind: str) -> DataFrame:
+        """The table's own metadata as a queryable DataFrame (Iceberg's
+        ``table$snapshots`` / ``$files`` / ``$refs`` idiom; the reference
+        publishes file catalogs as CSV tables the same way,
+        ``ANMN/LTSP/geoserver_catalog.py``). Driver-side manifest reads
+        only — row count is O(snapshots) / O(files) / O(refs), metadata
+        scale, never data scale.
+
+        * ``snapshots`` — this ref's ancestry: id, parent, operation,
+          committed_at, file counts, summary JSON;
+        * ``files`` — current snapshot's data files: path, bucket,
+          base/delta kind, per-column min/max bounds JSON (when the table
+          harvests stats);
+        * ``refs`` — tags, branches and consumers with their snapshot
+          positions.
+        """
+        if kind == "snapshots":
+            rows = [
+                (
+                    s.snapshot_id,
+                    s.parent_id,
+                    s.operation,
+                    None if s.committed_at is None
+                    else datetime.datetime.fromtimestamp(
+                        s.committed_at, datetime.timezone.utc
+                    ).replace(tzinfo=None),
+                    sum(len(fs) for fs in s.bucket_files.values()),
+                    sum(len(fs) for fs in s.delta_files.values()),
+                    json.dumps(s.summary, sort_keys=True, default=str),
+                )
+                for s in self.snapshots()
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "snapshot_id long, parent_id long, operation string, "
+                "committed_at timestamp, n_base_files long, "
+                "n_delta_files long, summary string",
+            )
+        if kind == "files":
+            snap = self.snapshot()
+            rows = []
+            for layer, files in (("base", snap.bucket_files),
+                                 ("delta", snap.delta_files)):
+                for b, fs in files.items():
+                    for i, f in enumerate(fs):
+                        stats = snap.file_col_stats.get(f)
+                        rows.append((
+                            f, int(b), layer, i,
+                            None if stats is None
+                            else json.dumps(stats, sort_keys=True, default=str),
+                        ))
+            return self.spark.createDataFrame(
+                rows,
+                "path string, bucket int, layer string, layer_idx int, "
+                "col_bounds string",
+            )
+        if kind == "refs":
+            rows = (
+                [("tag", n, sid) for n, sid in sorted(self.tags().items())]
+                + [("branch", n, sid)
+                   for n, sid in sorted(self.branches().items())]
+                + [("consumer", n, sid)
+                   for n, sid in sorted(self.consumers().items())]
+                + [("main", "CURRENT", self.current_snapshot_id())]
+            )
+            return self.spark.createDataFrame(
+                rows, "kind string, name string, snapshot_id long"
+            )
+        raise ValueError(
+            f"unknown metadata table {kind!r}: snapshots | files | refs"
+        )
 
     def remove_orphan_files(self, older_than_sec: float = 86400.0) -> list[str]:
         """Delete data files referenced by NO snapshot at all — the debris

@@ -174,3 +174,37 @@ def test_changes_between_tags(spark, tmp_table_dir):
     assert sorted((r["k"], r["op"]) for r in ch_head.collect()) == [("c", "I")]
     with pytest.raises(KeyError):
         t.changes_between_tags("ghost")
+
+
+# ------------------------------------------------------------ metadata tables
+
+
+def test_metadata_tables(spark, tmp_table_dir):
+    t = LakeTable.create(
+        spark, tmp_table_dir, SCHEMA, ["k"], bucket_count=4,
+        props={"merge_keys": ["k"]},
+    )
+    t.append(_df(spark, [("a", "x"), ("b", "y")]))
+    t.tag("rel1")
+    t.create_branch("wip")
+    t.register_consumer("mart")
+
+    snaps = t.metadata_table("snapshots").collect()
+    assert [r["operation"] for r in snaps] == ["create", "append"]
+    assert all(r["committed_at"] is not None for r in snaps)
+    assert snaps[-1]["n_base_files"] >= 1
+
+    files = t.metadata_table("files").collect()
+    assert len(files) == snaps[-1]["n_base_files"]
+    assert all(r["layer"] == "base" for r in files)
+
+    refs = {(r["kind"], r["name"]): r["snapshot_id"]
+            for r in t.metadata_table("refs").collect()}
+    cur = t.current_snapshot_id()
+    assert refs[("tag", "rel1")] == cur
+    assert refs[("branch", "wip")] == cur
+    assert refs[("consumer", "mart")] == cur
+    assert refs[("main", "CURRENT")] == cur
+
+    with pytest.raises(ValueError):
+        t.metadata_table("nope")

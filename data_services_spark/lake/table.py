@@ -945,32 +945,62 @@ class LakeTable:
         )
         matched = cur.join(F.broadcast(kdf), on=keycols, how="left_semi")
         remaining = cur.join(F.broadcast(kdf), on=keycols, how="left_anti")
-        victims = matched.where(
-            F.coalesce(F.col("op"), F.lit("K")) != "D"
-        ).localCheckpoint(eager=True)
+        matched = matched.localCheckpoint(eager=True)
+        victims = matched.where(F.coalesce(F.col("op"), F.lit("K")) != "D")
         n = victims.count()
         payload = [
             f.name for f in snap.schema.fields
             if f.name not in keycols and f.name not in order
         ]
-        tombstones = victims.select(
-            *keycols,
-            *[F.col(c) for c in order[:-1]],
-            (F.col(order[-1]) + F.lit(1)).cast(last_t).alias(order[-1]),
-            *[F.lit(None).cast(snap.schema[c].dataType).alias(c)
-              for c in payload],
-            F.lit("D").alias("op"),
+
+        def _payload_free(df: DataFrame, bump: bool) -> DataFrame:
+            # a tombstone must carry NO payload byte; erased-row tombstones
+            # bump the final order column so they outrank the erased row
+            # AND any staler event, while pre-existing delete tombstones of
+            # the targeted keys keep their own rank (they already guard)
+            last = (
+                (F.col(order[-1]) + F.lit(1)).cast(last_t)
+                if bump else F.col(order[-1])
+            )
+            return df.select(
+                *keycols,
+                *[F.col(c) for c in order[:-1]],
+                last.alias(order[-1]),
+                *[F.lit(None).cast(snap.schema[c].dataType).alias(c)
+                  for c in payload],
+                F.lit("D").alias("op"),
+            )
+
+        tombstones = _payload_free(victims, bump=True)
+        # pre-existing delete tombstones of the targeted keys are KEPT
+        # (payload-scrubbed): dropping them would un-guard a previously
+        # deleted key against its own stale redeliveries
+        kept_tombstones = _payload_free(
+            matched.where(F.coalesce(F.col("op"), F.lit("K")) == "D"),
+            bump=False,
         )
         existing = [f.name for f in snap.schema.fields]
-        new_content = remaining.select(*existing, "op").unionByName(
-            tombstones.select(*existing, "op")
+        new_content = (
+            remaining.select(*existing, "op")
+            .unionByName(tombstones.select(*existing, "op"))
+            .unionByName(kept_tombstones.select(*existing, "op"))
+        )
+        # the rewrite migrates any delta-layer tombstones of OTHER keys
+        # into base (replace_buckets subsumes the deltas), so the op-aware
+        # read path must stay on whenever tombstones can be present —
+        # keyed off the table state, not this call's victim count (the
+        # other rewrite verbs do the same)
+        has_tombstones = (
+            n > 0
+            or bool(snap.props.get("base_tombstones"))
+            or any(snap.delta_files.get(str(b)) for b in buckets)
         )
         new_snap = self.replace_buckets(
             new_content, buckets,
             summary={**snap.summary, **(summary or {}), "erased_rows": n},
             sort_cols=keycols,
             expected_parent=snap.snapshot_id,
-            props_update={"base_tombstones": True} if n else None,
+            props_update={"base_tombstones": True} if has_tombstones else None,
         )
         return {"erased": n, "buckets": buckets,
                 "snapshot_id": new_snap.snapshot_id}
@@ -1211,22 +1241,38 @@ class LakeTable:
         prev = self.snapshot(parent)
         deltas = prev.delta_files if delta_files is None else delta_files
         next_props = {**prev.props, **(props_update or {})}
-        snap = Snapshot(
-            snapshot_id=self._next_snapshot_id(),
-            parent_id=parent,
-            operation=operation,
-            schema_json=schema.jsonValue(),
-            bucket_count=prev.bucket_count if bucket_count is None else bucket_count,
-            bucket_keys=prev.bucket_keys,
-            bucket_files=merged,
-            summary=summary,
-            delta_files={b: fs for b, fs in deltas.items() if fs},
-            props=next_props,
-            file_col_stats=self._carry_col_stats(prev, merged, next_props),
+        for attempt in range(64):
+            snap = Snapshot(
+                snapshot_id=self._next_snapshot_id(),
+                parent_id=parent,
+                operation=operation,
+                schema_json=schema.jsonValue(),
+                bucket_count=prev.bucket_count if bucket_count is None else bucket_count,
+                bucket_keys=prev.bucket_keys,
+                bucket_files=merged,
+                summary=summary,
+                delta_files={b: fs for b, fs in deltas.items() if fs},
+                props=next_props,
+                file_col_stats=self._carry_col_stats(prev, merged, next_props),
+            )
+            try:
+                self._write_snapshot(self._lake, snap)
+            except CommitConflict:
+                # ids are DAG-global: a concurrent commit on ANOTHER ref
+                # (main vs branch) can race us to the same id without
+                # touching our ref. If our ref's head is unchanged the
+                # conflict is id-level only — re-allocate and retry; a
+                # moved head is a true conflict for the caller's
+                # expected_parent machinery.
+                if self.current_snapshot_id() != parent:
+                    raise
+                time.sleep(0.01 * (attempt + 1))
+                continue
+            self._flip_current(self._lake, snap.snapshot_id, self._current_file)
+            return snap
+        raise CommitConflict(
+            f"could not allocate a snapshot id after 64 attempts on {self.path}"
         )
-        self._write_snapshot(self._lake, snap)
-        self._flip_current(self._lake, snap.snapshot_id, self._current_file)
-        return snap
 
     def _carry_col_stats(
         self,
@@ -1998,6 +2044,8 @@ class LakeTable:
         tmp = os.path.join(self._lake, f".tag.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             json.dump({"name": name, "snapshot_id": sid}, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
             os.link(tmp, self._tag_path(name))  # O_EXCL claim
         except FileExistsError:
@@ -2064,6 +2112,8 @@ class LakeTable:
         tmp = os.path.join(self._lake, f".branch.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             f.write(str(sid))
+            f.flush()
+            os.fsync(f.fileno())
         try:
             os.link(tmp, self._branch_path(name))  # O_EXCL claim
         except FileExistsError:
@@ -2164,6 +2214,8 @@ class LakeTable:
         tmp = os.path.join(self._lake, f".consumer.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             json.dump({"name": name, "snapshot_id": sid}, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
             os.link(tmp, self._consumer_path(name))  # O_EXCL claim
         except FileExistsError:
@@ -2868,7 +2920,7 @@ class LakeTable:
                     None if s.committed_at is None
                     else datetime.datetime.fromtimestamp(
                         s.committed_at, datetime.timezone.utc
-                    ).replace(tzinfo=None),
+                    ),
                     sum(len(fs) for fs in s.bucket_files.values()),
                     sum(len(fs) for fs in s.delta_files.values()),
                     json.dumps(s.summary, sort_keys=True, default=str),

@@ -208,3 +208,57 @@ def test_metadata_tables(spark, tmp_table_dir):
 
     with pytest.raises(ValueError):
         t.metadata_table("nope")
+
+
+def test_commit_skips_over_occupied_dag_id(spark, tmp_table_dir):
+    """Another ref can win the next DAG id without touching our head —
+    the commit must re-allocate past the occupied id, not die."""
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, ["k"], bucket_count=4)
+    t.append(_df(spark, [("a", "x")]))
+    # occupy the id a concurrent ref would have taken
+    import copy
+
+    snap = t.snapshot()
+    ghost = copy.deepcopy(snap)
+    ghost.snapshot_id = t._next_snapshot_id()
+    ghost.parent_id = snap.snapshot_id
+    ghost.committed_at = None
+    LakeTable._write_snapshot(t._lake, ghost)
+    head_before = t.current_snapshot_id()
+    t.append(_df(spark, [("b", "y")]))  # must skip past the ghost id
+    assert t.current_snapshot_id() > ghost.snapshot_id
+    assert t.snapshot().parent_id == head_before
+    assert sorted(tuple(r) for r in t.read().collect()) == [
+        ("a", "x"), ("b", "y")]
+
+
+def test_main_and_branch_commit_concurrently(spark, tmp_table_dir):
+    """True cross-ref concurrency: a branch writer thread races main for
+    DAG ids; both lines must land completely with distinct ids."""
+    import threading
+
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, ["k"], bucket_count=4)
+    t.append(_df(spark, [("seed", "s")]))
+    t.create_branch("race")
+    b = t.branch_table("race")
+    errs = []
+
+    def branch_writer():
+        try:
+            for i in range(4):
+                b.append(_df(spark, [(f"b{i}", "v")]))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = threading.Thread(target=branch_writer)
+    th.start()
+    for i in range(4):
+        t.append(_df(spark, [(f"m{i}", "v")]))
+    th.join()
+    assert not errs
+    ids = [s.snapshot_id for s in t.all_snapshots()]
+    assert len(ids) == len(set(ids)) == 10  # create + seed + 4 + 4
+    assert sorted(r["k"] for r in t.read().collect()) == [
+        "m0", "m1", "m2", "m3", "seed"]
+    assert sorted(r["k"] for r in b.read().collect()) == [
+        "b0", "b1", "b2", "b3", "seed"]

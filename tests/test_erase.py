@@ -99,3 +99,41 @@ def test_erase_explicit_keys_and_noop_purge(applied):
     res_q = applied.quarantine.purge(
         [{"conv_id": "nobody"}], key_cols=["conv_id"])
     assert res_q["purged"] == 0 and res_q["buckets"] == []
+
+
+def test_noop_erase_does_not_resurrect_other_keys_delta_tombstones(spark, tmp_path):
+    """A no-match erase rewrites the affected buckets (migrating OTHER
+    keys' delta-layer delete tombstones into base); the op-aware read
+    flag must flip with the table state, not this call's victim count."""
+    applier = CdcApplier.bootstrap(
+        spark, str(tmp_path / "lake"), bucket_count=1, compact_threshold=None)
+    applier.replay(_changes(spark, [
+        (0, "U", 0, "a", 0, "user", "doomed"),
+        (1, "D", 5, "a", 0, None, None),       # delta-layer tombstone
+        (2, "U", 1, "b", 1, "user", "kept"),
+    ]), chunk_size=10**9)
+    assert applier.target.snapshot().props.get("base_tombstones") is None
+    res = applier.target.erase([{"conv_id": "zz", "turn_idx": 9}])
+    assert res["erased"] == 0
+    rows = [(r["conv_id"], r["turn_idx"])
+            for r in applier.target.read().collect()]
+    assert rows == [("b", 1)]  # the deleted key must NOT come back
+
+
+def test_erase_of_deleted_key_keeps_its_tombstone(spark, tmp_path):
+    """Erasing a key that was already deleted must keep (payload-scrub)
+    its tombstone — dropping it would un-guard the key against its own
+    stale redeliveries."""
+    applier = CdcApplier.bootstrap(
+        spark, str(tmp_path / "lake"), bucket_count=1)
+    applier.replay(_changes(spark, [
+        (0, "U", 10, "a", 0, "user", "v1"),
+        (1, "D", 20, "a", 0, None, None),
+    ]), chunk_size=10**9)
+    res = applier.target.erase([{"conv_id": "a", "turn_idx": 0}])
+    assert res["erased"] == 0  # nothing live, but the guard must survive
+    # stale straggler: older event time, fresh lsn
+    applier.replay(_changes(spark, [
+        (10, "U", 15, "a", 0, "user", "stale"),
+    ]), chunk_size=10**9)
+    assert applier.target.read().count() == 0

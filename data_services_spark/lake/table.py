@@ -1005,6 +1005,202 @@ class LakeTable:
         return {"erased": n, "buckets": buckets,
                 "snapshot_id": new_snap.snapshot_id}
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        update_set: dict[str, Any] | str | None = "all",
+        insert: bool = True,
+        delete_when: Any | None = None,
+        summary: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """SQL ``MERGE INTO`` over the bucket-pruned copy-on-write path
+        (Delta/Iceberg MERGE semantics, batch-wins):
+
+        * WHEN MATCHED AND ``delete_when`` → row deleted (durable
+          tombstone, same guarantee as :meth:`erase`);
+        * WHEN MATCHED → ``update_set`` applied over the current row —
+          ``"all"`` overwrites every payload column with the source's,
+          a dict maps payload column → Column expression over the
+          aliases ``s`` (source) and ``t`` (target current row);
+        * WHEN NOT MATCHED → source row inserts (``insert=False`` drops
+          unmatched source rows — update-only merge).
+
+        The source must carry the merge keys and the table's order
+        columns. Produced rows are stamped to DOMINATE the current row
+        ((greatest(ts), max(lsn, current+1))) — SQL MERGE overwrites
+        unconditionally, unlike the event-sourced apply loop where a
+        stale event loses LWW — while remaining ordinary events in the
+        LWW order, so later CDC events newer than the merge still win.
+        Cost: one join of the source against the AFFECTED buckets only
+        (the source's keys hash to their buckets driver-side, exactly
+        like ``lookup``/``erase``) + the CoW rewrite of those buckets;
+        unaffected buckets carry forward by reference."""
+        snap = self.snapshot()
+        if snap.props.get("merge_engine", "lww") != "lww":
+            raise ValueError(
+                "merge_into needs LWW resolution (batch-wins stamping); "
+                f"this table's merge_engine is "
+                f"{snap.props.get('merge_engine')!r}"
+            )
+        order = list(snap.props.get("order_cols", []))
+        if not order:
+            raise ValueError("merge_into needs order_cols on the table")
+        last_t = snap.schema[order[-1]].dataType
+        if not isinstance(last_t, (T.LongType, T.IntegerType)):
+            raise ValueError(
+                f"merge_into stamps dominance via the final order column; "
+                f"{order[-1]} is {last_t.simpleString()}, not integral"
+            )
+        keycols = list(snap.bucket_keys)
+        missing = [c for c in keycols + order if c not in source.columns]
+        if missing:
+            raise ValueError(
+                f"merge source lacks key/order columns: {missing}"
+            )
+        kdf, buckets = self._key_frame(snap, source.select(*keycols))
+        cur = self.read(
+            snapshot_id=snap.snapshot_id, buckets=buckets,
+            keep_tombstones=True,
+        )
+        payload = [
+            f.name for f in snap.schema.fields
+            if f.name not in keycols and f.name not in order
+        ]
+        src = source.alias("s")
+        # tombstoned keys count as NOT matched (the key is dead; MERGE
+        # re-inserts it when insert=True) — but their tombstone row must
+        # survive the rewrite untouched unless this merge overwrites it
+        live = cur.where(
+            F.coalesce(F.col("op"), F.lit("K")) != "D").alias("t")
+        # expression join keeps BOTH qualified key copies (an on=[names]
+        # join would coalesce them and break the s./t. references below)
+        joined = src.join(
+            live,
+            on=[F.col(f"s.{k}") == F.col(f"t.{k}") for k in keycols],
+            how="full_outer",
+        )
+        matched = F.col(f"t.{order[-1]}").isNotNull()
+        has_src = F.col(f"s.{order[-1]}").isNotNull()
+
+        if update_set == "all":
+            upd = {c: F.col(f"s.{c}") for c in payload}
+        else:
+            upd = {
+                c: (F.expr(e) if isinstance(e, str) else e)
+                for c, e in (update_set or {}).items()
+            }
+            bad = [c for c in upd if c not in payload]
+            if bad:
+                raise ValueError(
+                    f"update_set names non-payload columns {bad} "
+                    f"(payload: {payload})"
+                )
+        del_cond = (
+            F.lit(False) if delete_when is None
+            else (F.expr(delete_when) if isinstance(delete_when, str)
+                  else delete_when)
+        )
+        # dominance stamp: the merge result outranks the current row and
+        # every staler event, and ties break to the merge
+        out_order = [
+            F.greatest(F.col(f"s.{o}"), F.col(f"t.{o}"))
+            for o in order[:-1]
+        ] + [
+            F.greatest(
+                F.col(f"s.{order[-1]}"),
+                F.col(f"t.{order[-1]}") + F.lit(1),
+            ).cast(last_t)
+        ]
+        key_out = [
+            F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k)
+            for k in keycols
+        ]
+        action = (
+            F.when(matched & has_src & del_cond, "D")
+            .when(matched & has_src, "U")
+            .when(has_src & F.lit(insert), "I")
+            .otherwise("K")  # target-only row: carry through untouched
+        )
+        upd_cols = [
+            F.when(F.col("_act") == "D", F.lit(None).cast(snap.schema[c].dataType))
+            .when(F.col("_act") == "U",
+                  upd[c] if c in upd else F.col(f"t.{c}"))
+            .when(F.col("_act") == "I", F.col(f"s.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+            for c in payload
+        ]
+        order_out = [
+            F.when(F.col("_act").isin("D", "U"), oo)
+            .when(F.col("_act") == "I", F.col(f"s.{o}"))
+            .otherwise(F.col(f"t.{o}"))
+            .alias(o)
+            for o, oo in zip(order, out_order)
+        ]
+        resolved = (
+            joined.withColumn("_act", action)
+            .where((F.col("_act") != "K") | ~has_src)
+            .select(
+                *key_out, *upd_cols, *order_out,
+                F.when(F.col("_act") == "D", "D")
+                .otherwise(F.lit(None).cast("string")).alias("op"),
+                F.col("_act").alias("_act"),
+            )
+        )
+        resolved = resolved.localCheckpoint(eager=True)  # one join, reused
+        dups = (
+            resolved.where(F.col("_act") != "K")
+            .groupBy(*keycols).count().where(F.col("count") > 1).limit(1)
+            .collect()
+        )
+        if dups:
+            raise ValueError(
+                f"merge source has multiple rows for key "
+                f"{tuple(dups[0][k] for k in keycols)} — SQL MERGE "
+                "requires at most one source row per target key "
+                "(pre-aggregate the source, e.g. lww_dedup)"
+            )
+        stats = resolved.groupBy("_act").count().collect()
+        counts = {r["_act"]: r["count"] for r in stats}
+        existing = [f.name for f in snap.schema.fields]
+        # existing tombstones ride through unchanged (op='D' rows were
+        # excluded from the join so MERGE can re-insert their keys)
+        old_tombs = cur.where(
+            F.coalesce(F.col("op"), F.lit("K")) == "D"
+        ).join(
+            # ...unless this merge re-inserted the key: the insert's stamp
+            # does not outrank an unrelated old tombstone's rank, so the
+            # tombstone must drop for the insert to surface
+            F.broadcast(
+                resolved.where(F.col("_act") == "I").select(*keycols)
+            ),
+            on=keycols, how="left_anti",
+        )
+        new_content = (
+            resolved.drop("_act").select(*existing, "op")
+            .unionByName(old_tombs.select(*existing, "op"))
+        )
+        has_tombstones = (
+            counts.get("D", 0) > 0
+            or bool(snap.props.get("base_tombstones"))
+            or any(snap.delta_files.get(str(b)) for b in buckets)
+        )
+        new_snap = self.replace_buckets(
+            new_content, buckets,
+            summary={**snap.summary, **(summary or {}),
+                     "merge_into": {k: int(v) for k, v in counts.items()}},
+            sort_cols=keycols,
+            expected_parent=snap.snapshot_id,
+            props_update={"base_tombstones": True} if has_tombstones else None,
+        )
+        return {
+            "updated": int(counts.get("U", 0)),
+            "inserted": int(counts.get("I", 0)),
+            "deleted": int(counts.get("D", 0)),
+            "buckets": buckets,
+            "snapshot_id": new_snap.snapshot_id,
+        }
+
     def purge(
         self,
         keys: DataFrame | list[dict],

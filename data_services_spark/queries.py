@@ -1440,6 +1440,102 @@ def engine_multi_table_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "engine_merge_into",
+    sql=f"""
+    WITH changes AS (
+        SELECT event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ts,
+               printf('u%04d', user_id) AS conv_id,
+               CAST(event_id % 37 AS INTEGER) AS turn_idx,
+               {_ROLE_CASE} AS role,
+               props AS text,
+               event_type AS tool
+        FROM events
+    ), t0r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM changes WHERE lsn % 2 = 0
+    ), t0 AS (
+        SELECT conv_id, turn_idx, role, text, tool, ts, lsn
+        FROM t0r WHERE rn = 1 AND op <> 'D'
+    ), srcr AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM changes WHERE lsn % 2 = 1
+    ), src AS (
+        SELECT conv_id, turn_idx, role, text, tool, ts, lsn
+        FROM srcr WHERE rn = 1
+    ),
+    matched_upd AS (
+        SELECT t.conv_id, t.turn_idx, s.role, s.text, s.tool,
+               greatest(s.ts, t.ts) AS ts,
+               greatest(s.lsn, t.lsn + 1) AS lsn
+        FROM t0 t JOIN src s
+          ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHERE s.tool <> 'error'
+    ),
+    inserts AS (
+        SELECT s.* FROM src s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM t0 t
+            WHERE t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx)
+    ),
+    kept AS (
+        SELECT t.* FROM t0 t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM src s
+            WHERE t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx)
+    )
+    SELECT * FROM matched_upd
+    UNION ALL SELECT * FROM inserts
+    UNION ALL SELECT * FROM kept
+    """,
+    doc="SQL MERGE INTO through the REAL engine (LakeTable.merge_into — "
+        "Delta/Iceberg MERGE semantics over the bucket-pruned CoW path): "
+        "the even-lsn half of the stream seeds the target; the odd half, "
+        "LWW-collapsed to one row per key, merges with WHEN MATCHED AND "
+        "tool='error' DELETE / WHEN MATCHED UPDATE SET * / WHEN NOT "
+        "MATCHED INSERT. Updated/deleted rows take the batch-wins "
+        "dominance stamp (greatest ts, max(lsn, current+1)) so the merge "
+        "overwrites regardless of event-time order while staying an "
+        "ordinary event in the LWW order. Oracle = the three-branch "
+        "FULL-OUTER decomposition in DuckDB. tests/test_merge_into.py "
+        "pins dominance, durable merge-deletes, re-insert through a "
+        "tombstone, update-only mode and the multiple-match guard.",
+)
+def engine_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.dedup import lww_dedup
+    from .cdc.schemas import KEY_COLS, ORDER_COLS, TRANSCRIPTS_SCHEMA
+    from .lake.table import LakeTable
+
+    scratch = tempfile.mkdtemp(prefix="q_merge_")
+    stream = _engine_change_stream(spark, sf_dir)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
+    t0 = (
+        lww_dedup(stream.where(F.pmod("lsn", F.lit(2)) == 0),
+                  keys=KEY_COLS, order=ORDER_COLS)
+        .where(F.col("op") != "D").select(*cols)
+    )
+    src = (
+        lww_dedup(
+            stream.where(F.pmod("lsn", F.lit(2)) == 1),
+            keys=KEY_COLS, order=ORDER_COLS,
+        ).select(*cols)
+    )
+    target = LakeTable.create(
+        spark, f"{scratch}/t", TRANSCRIPTS_SCHEMA, KEY_COLS, 8,
+        props={"merge_keys": KEY_COLS, "order_cols": ORDER_COLS},
+    )
+    target.append(t0)
+    target.merge_into(
+        src, update_set="all", delete_when="s.tool = 'error'")
+    return _materialize_and_clean(target.read().select(*cols), scratch)
+
+
+@register(
     "engine_gdpr_erase",
     sql=f"""
     WITH changes AS (
@@ -5185,6 +5281,7 @@ _DRIVER_PRIORITY = [
     "engine_consumer_mirror",
     "engine_branch_backfill",
     "engine_gdpr_erase",
+    "engine_merge_into",
     # round-4 session-2 additions (never driver-verified)
     "aggregation_merge_state",
     "engine_aggregation_apply",

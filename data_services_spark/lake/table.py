@@ -1083,6 +1083,12 @@ class LakeTable:
         has_src = F.col(f"s.{order[-1]}").isNotNull()
 
         if update_set == "all":
+            lacking = [c for c in payload if c not in source.columns]
+            if lacking:
+                raise ValueError(
+                    f"update_set='all' (UPDATE SET *) needs every payload "
+                    f"column in the source; missing: {lacking}"
+                )
             upd = {c: F.col(f"s.{c}") for c in payload}
         else:
             upd = {
@@ -1121,11 +1127,20 @@ class LakeTable:
             .when(has_src & F.lit(insert), "I")
             .otherwise("K")  # target-only row: carry through untouched
         )
+        def _src_col(c: str) -> F.Column:
+            # a payload column the source doesn't carry (update-only
+            # merges pass a keys+order frame) inserts as NULL — the
+            # branch is unreachable with insert=False but is analyzed
+            return (
+                F.col(f"s.{c}") if c in source.columns
+                else F.lit(None).cast(snap.schema[c].dataType)
+            )
+
         upd_cols = [
             F.when(F.col("_act") == "D", F.lit(None).cast(snap.schema[c].dataType))
             .when(F.col("_act") == "U",
                   upd[c] if c in upd else F.col(f"t.{c}"))
-            .when(F.col("_act") == "I", F.col(f"s.{c}"))
+            .when(F.col("_act") == "I", _src_col(c))
             .otherwise(F.col(f"t.{c}"))
             .alias(c)
             for c in payload
@@ -1200,6 +1215,46 @@ class LakeTable:
             "buckets": buckets,
             "snapshot_id": new_snap.snapshot_id,
         }
+
+    def delete_where(self, cond: Any) -> dict[str, Any]:
+        """``DELETE FROM t WHERE cond`` (Delta/Iceberg row-level delete):
+        one column-pruned scan finds the matching keys, then
+        :meth:`erase` rewrites only their buckets with durable
+        anti-resurrection tombstones — a predicate delete is exactly a
+        key-set erase once the keys are known."""
+        cond = F.expr(cond) if isinstance(cond, str) else cond
+        keys = (
+            self.read().where(cond)
+            .select(*self.bucket_keys).dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        res = self.erase(keys, summary={"delete_where": str(cond)})
+        return {"deleted": res["erased"], "buckets": res["buckets"],
+                "snapshot_id": res["snapshot_id"]}
+
+    def update_where(
+        self, cond: Any, set_exprs: dict[str, Any],
+    ) -> dict[str, Any]:
+        """``UPDATE t SET ... WHERE cond``: the matching current rows
+        become the merge source and :meth:`merge_into` applies the
+        assignments (expressions over the ``t`` alias; the source IS the
+        target row, exposed as ``s`` too) with the batch-wins dominance
+        stamp — so the update survives stale stragglers but a genuinely
+        newer CDC event still overwrites it."""
+        cond = F.expr(cond) if isinstance(cond, str) else cond
+        snap = self.snapshot()
+        order = list(snap.props.get("order_cols", []))
+        src = (
+            self.read().where(cond)
+            .select(*self.bucket_keys, *order)
+            .localCheckpoint(eager=True)
+        )
+        res = self.merge_into(
+            src, update_set=set_exprs, insert=False,
+            summary={"update_where": str(cond)},
+        )
+        return {"updated": res["updated"], "buckets": res["buckets"],
+                "snapshot_id": res["snapshot_id"]}
 
     def purge(
         self,

@@ -129,3 +129,24 @@ def test_merge_guards(spark, tmp_table_dir):
     with pytest.raises(ValueError, match="non-payload"):
         t.merge_into(
             _df(spark, [("a", "x", 1, 20, 9)]), update_set={"lsn": "s.lsn"})
+
+
+def test_delete_where_and_update_where(spark, tmp_table_dir):
+    t = _table(spark, tmp_table_dir)
+    res = t.delete_where("n >= 3")          # deletes c
+    assert res["deleted"] == 1
+    assert "c" not in _state(t)
+    res2 = t.update_where("k = 'a'", {"n": "t.n * 10", "v": "upper(t.v)"})
+    assert res2["updated"] == 1
+    got = _state(t)
+    assert got["a"] == ("OLD-A", 10)
+    assert got["b"] == ("old-b", 2)         # untouched
+    # the predicate delete is durable: a stale straggler bounces
+    from data_services_spark.cdc.apply import CdcApplier
+
+    applier = CdcApplier(
+        spark, t, with_lineage=False, compact_threshold=None)
+    stale = _df(spark, [("c", "ghost", 1, 5, 900)]).withColumn(
+        "op", F.lit("U"))
+    applier.apply_chunk(stale, lo=-1, hi=None, batch_id=1, epoch=1)
+    assert "c" not in _state(t)

@@ -1420,7 +1420,7 @@ def engine_multi_table_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     hi = stream.agg(F.max("lsn")).collect()[0][0]
-    router.replay(stream, chunk_size=max(1, (hi + 1) // 3 + 1))
+    router.replay(stream, chunk_size=max(1, (hi + 1) // 2 + 1))
     conv = router.appliers["conv"].target.read().select(
         F.lit("conv").alias("tbl"),
         F.col("conv_id").alias("k1"),

@@ -66,6 +66,16 @@ def main(argv: list[str] | None = None) -> int:
                  "--update-where")
     if args.update_where and not args.set:
         ap.error("--update-where requires --set")
+    # refuse flags that belong to a different mode instead of silently
+    # dropping them (--delete-when vs --delete-where is an easy slip)
+    if not args.merge_source:
+        stray = [f for f, v in (("--delete-when", args.delete_when),
+                                ("--no-insert", args.no_insert),
+                                ("--update", args.update != "all")) if v]
+        if stray:
+            ap.error(f"{', '.join(stray)} only applies with --merge-source")
+    if not args.update_where and args.set:
+        ap.error("--set only applies with --update-where")
 
     # absolute imports: spark-submit executes this file as a top-level script
     from data_services_spark.lake.table import LakeTable

@@ -51,6 +51,7 @@ declarative DataFrame writes — no RDDs, no per-row Python.
 from __future__ import annotations
 
 import datetime
+import fcntl
 import json
 import os
 import shutil
@@ -574,6 +575,32 @@ class LakeTable:
         with open(os.path.join(self._lake, self._current_file)) as f:
             return int(f.read().strip())
 
+    def _commit_flip(self, snapshot_id: int, expected_parent: int) -> None:
+        """Compare-and-set the ref pointer: the flip happens only if the
+        ref still points at ``expected_parent``, under a per-ref flock (no
+        staleness — the kernel releases it with the process). This is the
+        COMMIT POINT: with DAG-global snapshot ids the O_EXCL manifest
+        write no longer doubles as the same-ref CAS (two same-ref writers
+        can win DIFFERENT ids), so a blind pointer flip could silently
+        orphan the slower writer's lineage. The loser now gets a
+        CommitConflict for its caller's retry machinery; its
+        already-written manifest is unreachable garbage that
+        ``expire_snapshots`` sweeps."""
+        lock_path = os.path.join(self._lake, f".{self._current_file}.flock")
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                cur = self.current_snapshot_id()
+                if cur != expected_parent:
+                    raise CommitConflict(
+                        f"ref {self._current_file} moved to {cur} while "
+                        f"committing {snapshot_id} (expected parent "
+                        f"{expected_parent}); manifest left for GC"
+                    )
+                self._flip_current(self._lake, snapshot_id, self._current_file)
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+
     def _next_snapshot_id(self) -> int:
         """Branch-safe id allocation: ids are unique across the whole DAG
         (max existing + 1), so main and branches never mint the same id;
@@ -939,6 +966,9 @@ class LakeTable:
                 "not integral"
             )
         kdf, buckets = self._key_frame(snap, keys)
+        if not buckets:  # empty key set: nothing to erase, no commit
+            return {"erased": 0, "buckets": [],
+                    "snapshot_id": snap.snapshot_id}
         keycols = list(snap.bucket_keys)
         cur = self.read(
             snapshot_id=snap.snapshot_id, buckets=buckets, keep_tombstones=True
@@ -1058,6 +1088,9 @@ class LakeTable:
                 f"merge source lacks key/order columns: {missing}"
             )
         kdf, buckets = self._key_frame(snap, source.select(*keycols))
+        if not buckets:  # empty source: nothing to do, nothing to commit
+            return {"updated": 0, "inserted": 0, "deleted": 0,
+                    "buckets": [], "snapshot_id": snap.snapshot_id}
         cur = self.read(
             snapshot_id=snap.snapshot_id, buckets=buckets,
             keep_tombstones=True,
@@ -1066,21 +1099,28 @@ class LakeTable:
             f.name for f in snap.schema.fields
             if f.name not in keycols and f.name not in order
         ]
-        src = source.alias("s")
-        # tombstoned keys count as NOT matched (the key is dead; MERGE
-        # re-inserts it when insert=True) — but their tombstone row must
-        # survive the rewrite untouched unless this merge overwrites it
-        live = cur.where(
-            F.coalesce(F.col("op"), F.lit("K")) != "D").alias("t")
+        # side-presence markers: a NULLABLE order/payload column cannot
+        # detect which join side exists (a target row with NULL there
+        # would read as unmatched and silently vanish) — literals can
+        src = source.withColumn("_sp", F.lit(1)).alias("s")
+        # the join sees EVERY resolved row including tombstones: a
+        # tombstoned key counts as NOT matched for MERGE semantics (the
+        # key is dead; insert re-creates it), but the insert must then be
+        # stamped to DOMINATE the dropped tombstone — otherwise events
+        # staler than the original delete (which the tombstone bounced)
+        # would resurrect dead-era content over the fresh insert
+        tgt = cur.withColumn("_tp", F.lit(1)).alias("t")
         # expression join keeps BOTH qualified key copies (an on=[names]
         # join would coalesce them and break the s./t. references below)
         joined = src.join(
-            live,
+            tgt,
             on=[F.col(f"s.{k}") == F.col(f"t.{k}") for k in keycols],
             how="full_outer",
         )
-        matched = F.col(f"t.{order[-1]}").isNotNull()
-        has_src = F.col(f"s.{order[-1]}").isNotNull()
+        is_tomb = F.coalesce(F.col("t.op"), F.lit("K")) == "D"
+        matched = F.col("_tp").isNotNull() & ~is_tomb
+        has_src = F.col("_sp").isNotNull()
+        has_tgt = F.col("_tp").isNotNull()
 
         if update_set == "all":
             lacking = [c for c in payload if c not in source.columns]
@@ -1106,16 +1146,21 @@ class LakeTable:
             else (F.expr(delete_when) if isinstance(delete_when, str)
                   else delete_when)
         )
-        # dominance stamp: the merge result outranks the current row and
-        # every staler event, and ties break to the merge
+        # dominance stamp: the merge result outranks the current row —
+        # live row for U/D, the dropped tombstone for an insert over a
+        # dead key — and every staler event; ties break to the merge
         out_order = [
-            F.greatest(F.col(f"s.{o}"), F.col(f"t.{o}"))
+            F.when(has_tgt, F.greatest(F.col(f"s.{o}"), F.col(f"t.{o}")))
+            .otherwise(F.col(f"s.{o}"))
             for o in order[:-1]
         ] + [
-            F.greatest(
-                F.col(f"s.{order[-1]}"),
-                F.col(f"t.{order[-1]}") + F.lit(1),
-            ).cast(last_t)
+            F.when(
+                has_tgt,
+                F.greatest(
+                    F.col(f"s.{order[-1]}"),
+                    F.col(f"t.{order[-1]}") + F.lit(1),
+                ),
+            ).otherwise(F.col(f"s.{order[-1]}")).cast(last_t)
         ]
         key_out = [
             F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k)
@@ -1125,7 +1170,7 @@ class LakeTable:
             F.when(matched & has_src & del_cond, "D")
             .when(matched & has_src, "U")
             .when(has_src & F.lit(insert), "I")
-            .otherwise("K")  # target-only row: carry through untouched
+            .otherwise("K")  # target-only row (live OR tombstone): carried
         )
         def _src_col(c: str) -> F.Column:
             # a payload column the source doesn't carry (update-only
@@ -1146,19 +1191,28 @@ class LakeTable:
             for c in payload
         ]
         order_out = [
-            F.when(F.col("_act").isin("D", "U"), oo)
-            .when(F.col("_act") == "I", F.col(f"s.{o}"))
+            # D/U/I all take the dominance stamp (for I it degrades to
+            # the source's own stamp when no tombstone was dropped);
+            # K carries the target row's stamp untouched
+            F.when(F.col("_act").isin("D", "U", "I"), oo)
             .otherwise(F.col(f"t.{o}"))
             .alias(o)
             for o, oo in zip(order, out_order)
         ]
         resolved = (
             joined.withColumn("_act", action)
-            .where((F.col("_act") != "K") | ~has_src)
+            # K rows survive only when a target row exists (live row or
+            # tombstone to carry through); source-only K rows are the
+            # dropped unmatched rows of an update-only merge
+            .where((F.col("_act") != "K") | has_tgt)
             .select(
                 *key_out, *upd_cols, *order_out,
-                F.when(F.col("_act") == "D", "D")
-                .otherwise(F.lit(None).cast("string")).alias("op"),
+                # a carried tombstone stays a tombstone
+                F.when(
+                    (F.col("_act") == "D")
+                    | ((F.col("_act") == "K") & is_tomb),
+                    "D",
+                ).otherwise(F.lit(None).cast("string")).alias("op"),
                 F.col("_act").alias("_act"),
             )
         )
@@ -1177,24 +1231,11 @@ class LakeTable:
             )
         stats = resolved.groupBy("_act").count().collect()
         counts = {r["_act"]: r["count"] for r in stats}
+        dml_counts = {
+            k: int(v) for k, v in counts.items() if k in ("D", "U", "I")
+        }
         existing = [f.name for f in snap.schema.fields]
-        # existing tombstones ride through unchanged (op='D' rows were
-        # excluded from the join so MERGE can re-insert their keys)
-        old_tombs = cur.where(
-            F.coalesce(F.col("op"), F.lit("K")) == "D"
-        ).join(
-            # ...unless this merge re-inserted the key: the insert's stamp
-            # does not outrank an unrelated old tombstone's rank, so the
-            # tombstone must drop for the insert to surface
-            F.broadcast(
-                resolved.where(F.col("_act") == "I").select(*keycols)
-            ),
-            on=keycols, how="left_anti",
-        )
-        new_content = (
-            resolved.drop("_act").select(*existing, "op")
-            .unionByName(old_tombs.select(*existing, "op"))
-        )
+        new_content = resolved.drop("_act").select(*existing, "op")
         has_tombstones = (
             counts.get("D", 0) > 0
             or bool(snap.props.get("base_tombstones"))
@@ -1203,7 +1244,7 @@ class LakeTable:
         new_snap = self.replace_buckets(
             new_content, buckets,
             summary={**snap.summary, **(summary or {}),
-                     "merge_into": {k: int(v) for k, v in counts.items()}},
+                     "merge_into": dml_counts},
             sort_cols=keycols,
             expected_parent=snap.snapshot_id,
             props_update={"base_tombstones": True} if has_tombstones else None,
@@ -1519,7 +1560,7 @@ class LakeTable:
                     raise
                 time.sleep(0.01 * (attempt + 1))
                 continue
-            self._flip_current(self._lake, snap.snapshot_id, self._current_file)
+            self._commit_flip(snap.snapshot_id, parent)
             return snap
         raise CommitConflict(
             f"could not allocate a snapshot id after 64 attempts on {self.path}"
@@ -2423,7 +2464,7 @@ class LakeTable:
                 f"branch {name!r} (head {head}) does not contain main's "
                 f"head {cur} — diverged; fast-forward impossible"
             )
-        self._flip_current(self._lake, head, _CURRENT)
+        self._commit_flip(head, cur)
         return head
 
     def drop_branch(self, name: str) -> None:
@@ -2599,7 +2640,7 @@ class LakeTable:
                 file_col_stats=target.file_col_stats,
             )
             self._write_snapshot(self._lake, snap)
-            self._flip_current(self._lake, snap.snapshot_id, self._current_file)
+            self._commit_flip(snap.snapshot_id, parent)
             return snap
 
         return retry_commit(attempt)

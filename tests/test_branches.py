@@ -262,3 +262,32 @@ def test_main_and_branch_commit_concurrently(spark, tmp_table_dir):
         "m0", "m1", "m2", "m3", "seed"]
     assert sorted(r["k"] for r in b.read().collect()) == [
         "b0", "b1", "b2", "b3", "seed"]
+
+
+def test_same_ref_concurrent_appends_never_lose_an_update(spark, tmp_table_dir):
+    """Two writers on the SAME ref race the commit point: the CAS flip
+    must orphan neither — every append lands exactly once on the chain."""
+    import threading
+
+    t1 = LakeTable.create(spark, tmp_table_dir, SCHEMA, ["k"], bucket_count=4)
+    t2 = LakeTable(spark, tmp_table_dir)
+    errs = []
+
+    def writer(t, tag):
+        try:
+            for i in range(4):
+                t.append(_df(spark, [(f"{tag}{i}", "v")]))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = threading.Thread(target=writer, args=(t2, "b"))
+    th.start()
+    writer(t1, "a")
+    th.join()
+    assert not errs
+    assert sorted(r["k"] for r in t1.read().collect()) == [
+        "a0", "a1", "a2", "a3", "b0", "b1", "b2", "b3"]
+    # the committed chain contains every append (orphaned manifests, if
+    # any conflict losers wrote some, are unreachable and unpinned)
+    chain_ops = [s.operation for s in t1.snapshots()]
+    assert chain_ops.count("append") == 8

@@ -150,3 +150,50 @@ def test_delete_where_and_update_where(spark, tmp_table_dir):
         "op", F.lit("U"))
     applier.apply_chunk(stale, lo=-1, hi=None, batch_id=1, epoch=1)
     assert "c" not in _state(t)
+
+
+def test_merge_reinsert_outranks_the_dropped_tombstone(spark, tmp_table_dir):
+    """An insert over a dead key must dominate the dropped tombstone:
+    events staler than the ORIGINAL DELETE (which the tombstone bounced)
+    must not resurrect dead-era content over the fresh insert."""
+    t = _table(spark, tmp_table_dir)
+    # delete a at rank (ts=20, lsn=100)
+    t.merge_into(_df(spark, [("a", "x", 0, 20, 100)]),
+                 update_set="all", delete_when="s.k = 'a'")
+    # re-insert with a stamp OLDER than the delete
+    t.merge_into(_df(spark, [("a", "reborn", 7, 15, 50)]))
+    assert _state(t)["a"] == ("reborn", 7)
+    # straggler between the insert's own stamp and the old delete rank:
+    # previously bounced by the tombstone, must STILL lose to the insert
+    from data_services_spark.cdc.apply import CdcApplier
+
+    applier = CdcApplier(spark, t, with_lineage=False, compact_threshold=None)
+    stale = _df(spark, [("a", "GHOST", 1, 18, 60)]).withColumn(
+        "op", F.lit("U"))
+    applier.apply_chunk(stale, lo=-1, hi=None, batch_id=1, epoch=1)
+    assert _state(t)["a"] == ("reborn", 7)
+
+
+def test_merge_null_order_target_row_is_not_silently_dropped(spark, tmp_table_dir):
+    """Match detection must not key off a NULLABLE order column: a target
+    row with NULL lsn is still a matched row."""
+    t = LakeTable.create(
+        spark, tmp_table_dir, SCHEMA, ["k"], bucket_count=4,
+        props={"merge_keys": ["k"], "order_cols": ["ts", "lsn"]},
+    )
+    t.append(spark.createDataFrame(
+        [("a", "old", 1, _ts(10), None)], SCHEMA))
+    res = t.merge_into(
+        _df(spark, [("a", "new", 2, 20, 100)]),
+        update_set={"n": "s.n"}, insert=False,
+    )
+    assert res["updated"] == 1
+    assert _state(t)["a"] == ("old", 2)  # v kept, n updated — row intact
+
+
+def test_predicate_dml_no_match_is_metadata_free(spark, tmp_table_dir):
+    t = _table(spark, tmp_table_dir)
+    before = t.current_snapshot_id()
+    assert t.delete_where("n > 99")["deleted"] == 0
+    assert t.update_where("n > 99", {"n": "t.n"})["updated"] == 0
+    assert t.current_snapshot_id() == before  # no no-op commits minted

@@ -460,6 +460,32 @@ def _agg_fold(
     return g.select(*keys, *value_cols, *order_cols, *internal)
 
 
+def _pin_portable_write_conf(spark: SparkSession) -> None:
+    """Pin the session confs the lake format's correctness depends on,
+    so the engine works under ANY caller's SparkSession — not just the
+    one built by :mod:`data_services_spark.session`.
+
+    ``spark.sql.parquet.outputTimestampType`` defaults to legacy INT96:
+    under that default (a) parquet footers carry no usable timestamp
+    min/max stats, silently disabling manifest-level data skipping
+    (:meth:`LakeTable.file_stats`), and (b) pyarrow reads INT96 back as
+    ``timestamp[ns]``, which the zero-shuffle local compaction would echo
+    out as TIMESTAMP(NANOS) — a physical type Spark's vectorized reader
+    refuses. Both are runtime-settable SQLConfs, so pinning here at
+    table-handle construction makes every subsequent engine write
+    portable regardless of how the session was built."""
+    try:
+        if spark.conf.get("spark.sql.parquet.outputTimestampType") != "TIMESTAMP_MICROS":
+            spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
+    except Exception:
+        # conf API unavailable (e.g. connect-mode restrictions): the
+        # Arrow-side micros cast in the local rewrite still guarantees
+        # compacted files are portable.
+        pass
+
+
 class LakeTable:
     """A snapshot-versioned, hash-bucketed parquet table."""
 
@@ -470,6 +496,7 @@ class LakeTable:
         The snapshot DAG is shared — a branch is one extra pointer file,
         zero data copies (Iceberg/Paimon branch refs)."""
         self.spark = spark
+        _pin_portable_write_conf(spark)
         self.path = os.path.abspath(path)
         self._lake = os.path.join(self.path, _LAKE_DIR)
         self.branch = branch
@@ -2856,6 +2883,26 @@ class LakeTable:
                     if win.num_rows == 0:
                         out.append((int(b), None, 0, 0))
                         continue
+                    # Portability: never echo an input file's physical
+                    # timestamp quirk into the compacted output. Delta
+                    # files written under a session left at the INT96
+                    # default read back as timestamp[ns]; writing that
+                    # out produces TIMESTAMP(NANOS) parquet, which
+                    # Spark's vectorized reader refuses. Cast every
+                    # nanosecond timestamp to microseconds (the lake
+                    # format's on-disk contract) before writing.
+                    _fields = [
+                        pa.field(
+                            f.name,
+                            pa.timestamp("us", tz=f.type.tz),
+                            nullable=f.nullable,
+                        )
+                        if pa.types.is_timestamp(f.type)
+                        and f.type.unit == "ns"
+                        else f
+                        for f in win.schema
+                    ]
+                    win = win.cast(pa.schema(_fields))
                     bdir = os.path.join(commit_abs, f"bucket={int(b)}")
                     os.makedirs(bdir, exist_ok=True)
                     fname = "part-00000.parquet"

@@ -36,6 +36,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType(), False),
         T.StructField("n_bytes", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        # raw integer bin counts behind `feature` (feature = hist / ||hist||):
+        # exact, merge-able across shards (histograms add; normalized floats
+        # don't), and DuckDB-oracle-able without float-rounding hazards
+        T.StructField("hist", T.ArrayType(T.IntegerType()), True),
         T.StructField("decoder", T.StringType(), True),
     ]
 )
@@ -283,11 +287,13 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
 
         for pdf in batches:
             feats = []
+            hists = []
             nbytes = []
             decoders = []
             for payload in pdf["payload"]:
                 if payload is None:
                     feats.append(None)
+                    hists.append(None)
                     nbytes.append(0)
                     decoders.append(None)
                     continue
@@ -311,7 +317,9 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
                     # FAKE decoder (clearly marked): raw byte histogram
                     vals = np.frombuffer(raw, dtype=np.uint8) % feat_dim
                     decoders.append("fake/byte-histogram")
-                hist = np.bincount(vals, minlength=feat_dim).astype("float32")
+                counts = np.bincount(vals, minlength=feat_dim)
+                hists.append(counts.astype("int32").tolist())
+                hist = counts.astype("float32")
                 norm = float(np.linalg.norm(hist)) or 1.0
                 feats.append((hist / norm).tolist())
             yield pd.DataFrame(
@@ -320,6 +328,7 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
                     "kind": pdf["kind"],
                     "n_bytes": pd.Series(nbytes, dtype="int32"),
                     "feature": feats,
+                    "hist": hists,
                     "decoder": decoders,
                 }
             )

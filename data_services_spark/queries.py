@@ -2602,28 +2602,83 @@ def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    sql=None,  # mapInPandas plumbing; pytest covers shapes & determinism
-    doc="Multimodal plumbing: binary payload column -> mapInPandas feature "
-        "extraction (decode stubbed: container has no codecs; batch shape, "
-        "schema and partitioning are real).",
+    sql="""
+    WITH d AS (SELECT doc_id FROM documents),
+    vals AS (
+        SELECT d.doc_id AS media_id, 'audio' AS kind,
+               CAST(44 + 2 * (200 + d.doc_id % 57) AS INTEGER) AS n_bytes,
+               'wav/pcm16' AS decoder,
+               abs(((d.doc_id * 31 + g.i * 7) % 256) - 128) % 8 AS bin
+        FROM d, generate_series(0, 500) g(i)
+        WHERE d.doc_id % 3 = 1 AND g.i < 200 + d.doc_id % 57
+        UNION ALL
+        SELECT d.doc_id, 'image',
+               CAST(13 + 3 * (8 + d.doc_id % 9) * (6 + d.doc_id % 5)
+                    AS INTEGER),
+               'ppm/p6',
+               ((d.doc_id * 13 + g.j * 5) % 256) % 8
+        FROM d, generate_series(0, 500) g(j)
+        WHERE d.doc_id % 3 = 0
+          AND g.j < 3 * (8 + d.doc_id % 9) * (6 + d.doc_id % 5)
+        UNION ALL
+        SELECT d.doc_id, 'video',
+               CAST(256 + d.doc_id % 100 AS INTEGER),
+               'fake/byte-histogram',
+               ((d.doc_id * 17 + g.j * 3) % 256) % 8
+        FROM d, generate_series(0, 500) g(j)
+        WHERE d.doc_id % 3 = 2 AND g.j < 256 + d.doc_id % 100
+    ),
+    counts AS (
+        SELECT media_id, kind, n_bytes, decoder, bin, count(*) AS c
+        FROM vals GROUP BY ALL
+    ),
+    media AS (SELECT DISTINCT media_id, kind, n_bytes, decoder FROM vals),
+    hist AS (
+        SELECT m.media_id, m.kind, m.n_bytes, m.decoder, b.bin,
+               COALESCE(c.c, 0) AS c
+        FROM media m
+        CROSS JOIN generate_series(0, 7) b(bin)
+        LEFT JOIN counts c
+          ON c.media_id = m.media_id AND c.bin = b.bin
+    )
+    SELECT media_id, kind, n_bytes, decoder,
+           string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin) AS hist_digest,
+           CAST(sum(c * c) AS BIGINT) AS norm_sq
+    FROM hist GROUP BY media_id, kind, n_bytes, decoder
+    """,
+    doc="Multimodal feature extraction with a REAL numeric oracle (closes "
+        "the last rows-only stub): genuine PCM16 WAV / P6 PPM / raw-stream "
+        "payloads are decoded by the from-spec stdlib parsers inside "
+        "mapInPandas and binned into the operator's integer histogram "
+        "(`hist`, the exact statistic behind the L2-normalized `feature` "
+        "column); the DuckDB side recomputes every bin count from the "
+        "series definitions via lateral generate_series. A decode, "
+        "dispatch, binning, or batching bug turns the driver red. The "
+        "normalized float feature is hist/||hist|| — pinned separately by "
+        "tests/test_training_ops.py determinism checks.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import extract_features, synthesize_media
+    from .operators.multimodal import extract_features, synthesize_decodable_media
 
-    media = synthesize_media(load(spark, sf_dir, "documents"))
+    media = synthesize_decodable_media(load(spark, sf_dir, "documents"))
     feats = extract_features(media)
-    # The operator API keeps the raw array<float> feature column; the
-    # registry entry projects it to a deterministic string digest so the
-    # driver's pandas canonicalizer (which sorts by every column) never sees
-    # an unhashable list cell.
+    # Digest the exact integer histogram (the float feature is a trivial
+    # normalization on top and can't be hash-compared across engines); the
+    # driver's pandas canonicalizer sorts by every column, so array cells
+    # project to a string digest + an integer norm.
     return feats.select(
         "media_id",
         "kind",
         "n_bytes",
-        F.concat_ws(
-            ",", F.transform("feature", lambda x: F.format_number(x, 6))
-        ).alias("feature_digest"),
         "decoder",
+        F.concat_ws(",", F.col("hist").cast("array<string>")).alias(
+            "hist_digest"
+        ),
+        F.aggregate(
+            "hist",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long") * x.cast("long"),
+        ).alias("norm_sq"),
     )
 
 # --------------------------------------------------------------------------

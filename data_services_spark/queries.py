@@ -5386,6 +5386,123 @@ def stream_bus_envelope_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(applier.target.read(), scratch)
 
 
+@register(
+    "engine_sql_dml",
+    sql=f"""
+    WITH changes AS (
+        SELECT event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ts,
+               printf('u%04d', user_id) AS conv_id,
+               CAST(event_id % 37 AS INTEGER) AS turn_idx,
+               {_ROLE_CASE} AS role,
+               props AS text,
+               event_type AS tool
+        FROM events
+    ), t0r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM changes WHERE lsn % 2 = 0
+    ), t0 AS (
+        SELECT conv_id, turn_idx, role, text, tool, ts, lsn
+        FROM t0r WHERE rn = 1 AND op <> 'D'
+    ), srcr AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM changes WHERE lsn % 2 = 1
+    ), src AS (
+        SELECT conv_id, turn_idx, role, text, tool, ts, lsn
+        FROM srcr WHERE rn = 1
+    ),
+    matched_upd AS (
+        SELECT t.conv_id, t.turn_idx, s.role, s.text, s.tool,
+               greatest(s.ts, t.ts) AS ts,
+               greatest(s.lsn, t.lsn + 1) AS lsn
+        FROM t0 t JOIN src s
+          ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHERE s.tool <> 'error'
+    ),
+    inserts AS (
+        SELECT s.* FROM src s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM t0 t
+            WHERE t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx)
+    ),
+    kept AS (
+        SELECT t.* FROM t0 t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM src s
+            WHERE t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx)
+    ),
+    merged AS (
+        SELECT * FROM matched_upd
+        UNION ALL SELECT * FROM inserts
+        UNION ALL SELECT * FROM kept
+    ),
+    updated AS (
+        SELECT conv_id, turn_idx,
+               CASE WHEN turn_idx = 0 THEN upper(role) ELSE role END AS role,
+               text, tool, ts,
+               CASE WHEN turn_idx = 0 THEN lsn + 1 ELSE lsn END AS lsn
+        FROM merged
+    )
+    SELECT * FROM updated WHERE turn_idx <> 1
+    """,
+    doc="The SQL TEXT surface end-to-end (lake/sql.py LakeSQL — VERDICT r4 "
+        "'What's missing #3'): the whole flow runs as SQL statements — "
+        "INSERT INTO lake.t SELECT <LWW window over a temp view> seeds the "
+        "target from the even-lsn half; MERGE INTO lake.t ... WHEN MATCHED "
+        "AND s.tool='error' THEN DELETE / WHEN MATCHED THEN UPDATE SET * / "
+        "WHEN NOT MATCHED THEN INSERT * applies the odd half; UPDATE "
+        "lake.t SET role = upper(role) WHERE turn_idx = 0 (bare columns "
+        "resolve to the current row, dominance stamp bumps lsn by 1); "
+        "DELETE FROM lake.t WHERE turn_idx = 1; SELECT * FROM lake.t "
+        "returns the state. The DuckDB oracle replays the same four "
+        "statements as relational algebra. tests/test_lake_sql.py pins "
+        "the parser's strict-failure surface.",
+)
+def engine_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .cdc.schemas import KEY_COLS, ORDER_COLS, TRANSCRIPTS_SCHEMA
+    from .lake.sql import LakeSQL
+    from .lake.table import LakeTable
+
+    scratch = tempfile.mkdtemp(prefix="q_sql_")
+    LakeTable.create(
+        spark, f"{scratch}/t", TRANSCRIPTS_SCHEMA, KEY_COLS, 8,
+        props={"merge_keys": KEY_COLS, "order_cols": ORDER_COLS},
+    )
+    _engine_change_stream(spark, sf_dir).createOrReplaceTempView("raw_changes")
+    lsql = LakeSQL(spark, scratch)
+    lww = (
+        "SELECT conv_id, turn_idx, role, text, tool, ts, lsn FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) rn"
+        "  FROM raw_changes WHERE pmod(lsn, 2) = {par}) WHERE rn = 1{extra}"
+    )
+    lsql.sql(
+        "INSERT INTO lake.t "
+        + lww.format(par=0, extra=" AND op <> 'D'")
+    )
+    spark.sql(lww.format(par=1, extra="")).createOrReplaceTempView("src_odd")
+    lsql.sql(
+        """
+        MERGE INTO lake.t AS tgt USING src_odd AS src
+        ON src.conv_id = tgt.conv_id AND src.turn_idx = tgt.turn_idx
+        WHEN MATCHED AND src.tool = 'error' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    lsql.sql("UPDATE lake.t SET role = upper(role) WHERE turn_idx = 0")
+    lsql.sql("DELETE FROM lake.t WHERE turn_idx = 1")
+    out = lsql.sql(
+        "SELECT conv_id, turn_idx, role, text, tool, ts, lsn FROM lake.t"
+    )
+    return _materialize_and_clean(out, scratch)
+
+
 # --------------------------------------------------------------------------
 # Driver-verification window ordering.
 #
@@ -5399,8 +5516,9 @@ def stream_bus_envelope_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # --- round-5 window (first 50 = driver correctness gate) ---
-    # new this round: the full bus streaming composition
+    # new this round: the bus streaming composition + the SQL text surface
     "stream_bus_envelope_apply",
+    "engine_sql_dml",
     # oracle + operator changed this round (integer-histogram digest)
     "multimodal_features",
     # the three r4 ERRORs, fixed by the timestamp-portability pin/cast

@@ -29,8 +29,29 @@ import time
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--root", required=True, help="lake root directory")
-    ap.add_argument("--source-dir", required=True,
-                    help="directory of change-event parquet files to tail")
+    ap.add_argument("--source-dir", default=None,
+                    help="directory of change-event parquet files to tail "
+                         "(the default transport; or use --bus-*)")
+    ap.add_argument("--bus-transport", default=None,
+                    choices=["kafka", "file", "socket"],
+                    help="read a message bus instead of a parquet dir: "
+                         "Kafka-wire-shaped records through the envelope "
+                         "decoder into the same exactly-once apply")
+    ap.add_argument("--bus-path", default=None,
+                    help="bus file transport: JSON-lines bus-archive dir")
+    ap.add_argument("--bus-host", default=None, help="bus socket transport")
+    ap.add_argument("--bus-port", type=int, default=None)
+    ap.add_argument("--bus-topic", default=None,
+                    help="topic filter (kafka: subscription; file/socket: "
+                         "record filter)")
+    ap.add_argument("--bus-option", action="append", default=[],
+                    metavar="K=V",
+                    help="kafka reader option, repeatable (e.g. "
+                         "kafka.bootstrap.servers=broker:9092)")
+    ap.add_argument("--envelope", default="debezium",
+                    choices=["debezium", "debezium_flat", "maxwell",
+                             "canal", "dms", "mongo"],
+                    help="bus envelope dialect (decoded JVM-side)")
     ap.add_argument("--checkpoint", required=True,
                     help="streaming checkpoint location")
     ap.add_argument("--max-files-per-trigger", type=int, default=8,
@@ -98,15 +119,46 @@ def main(argv: list[str] | None = None) -> int:
         schema = T.StructType(CHANGES_SCHEMA.fields + extra.fields)
 
     t0 = time.monotonic()
-    q = start_apply_stream(
-        applier,
-        stream_changes(
-            spark, args.source_dir, args.max_files_per_trigger, schema=schema
-        ),
-        checkpoint_dir=args.checkpoint,
-        trigger_seconds=args.trigger_seconds,
-        views=views,
-    )
+    if (args.source_dir is None) == (args.bus_transport is None):
+        ap.error("exactly one of --source-dir or --bus-transport is required")
+    if args.bus_transport:
+        from pyspark.sql import types as T
+
+        from data_services_spark.cdc.schemas import CHANGES_SCHEMA
+        from data_services_spark.streaming.bus import (
+            read_bus,
+            start_bus_apply_stream,
+        )
+
+        base = schema or CHANGES_SCHEMA
+        row_schema = T.StructType(
+            [f for f in base.fields if f.name not in ("lsn", "op", "ts")]
+        )
+        bus = read_bus(
+            spark, args.bus_transport,
+            path=args.bus_path, host=args.bus_host, port=args.bus_port,
+            topic=args.bus_topic,
+            max_files_per_trigger=args.max_files_per_trigger,
+            options=dict(
+                kv.split("=", 1) for kv in args.bus_option if "=" in kv
+            ),
+        )
+        q = start_bus_apply_stream(
+            applier, bus, row_schema, args.envelope,
+            checkpoint_dir=args.checkpoint, topic=args.bus_topic,
+            trigger_seconds=args.trigger_seconds, views=views,
+        )
+    else:
+        q = start_apply_stream(
+            applier,
+            stream_changes(
+                spark, args.source_dir, args.max_files_per_trigger,
+                schema=schema,
+            ),
+            checkpoint_dir=args.checkpoint,
+            trigger_seconds=args.trigger_seconds,
+            views=views,
+        )
     try:
         if args.stop_when_idle:
             q.processAllAvailable()

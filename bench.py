@@ -671,10 +671,12 @@ table oracle-verified in both modes).
 ## Scale-up datapoints (one box)
 
 The same job, unchanged, at local[32], best in-JVM rep (round-over-round
-history at ~55M: r1 410k -> r2 723k -> r3 1,149k -> r4 1,907k ev/s):
+history at ~55M: r1 410k -> r2 723k -> r3 1,149k -> r4 1,907k -> r5
+2,168k ev/s):
 
 | events | chunks | wall (apply) | apply ev/s | incl. compaction (ev/s) | final rows | round |
 |---|---|---|---|---|---|---|
+| 61,947,226 | 4 | 28.6s | **2,168,495** | 872,752 | 22,362,234 | r5 2026-08-21 (exact-placement writes) |
 | 58,797,810 | 5 | 30.9s | **1,902,550** | 1,030,519 | 21,228,203 | r4 session-3 2026-08-21 |
 | 58,797,810 | 5 | 30.8s | **1,907,144** | 903,962 | 21,228,203 | r4 2026-08-19 |
 | 104,997,929 | 8 | 204.3s | 513,847 | 339,122 | 37,904,152 | r4 2026-08-19 |

@@ -676,6 +676,7 @@ history at ~55M: r1 410k -> r2 723k -> r3 1,149k -> r4 1,907k -> r5
 
 | events | chunks | wall (apply) | apply ev/s | incl. compaction (ev/s) | final rows | round |
 |---|---|---|---|---|---|---|
+| 61,947,226 | 4 | 27.1s | **2,284,021** | 1,605,316 | 22,362,234 | r5 2026-08-21 (+ hot-bucket shard compaction: compact wall 42.4s -> 11.5s at 32 cores) |
 | 61,947,226 | 4 | 28.6s | **2,168,495** | 872,752 | 22,362,234 | r5 2026-08-21 (exact-placement writes) |
 | 58,797,810 | 5 | 30.9s | **1,902,550** | 1,030,519 | 21,228,203 | r4 session-3 2026-08-21 |
 | 58,797,810 | 5 | 30.8s | **1,907,144** | 903,962 | 21,228,203 | r4 2026-08-19 |

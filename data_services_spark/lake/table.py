@@ -2862,6 +2862,7 @@ class LakeTable:
         token: str,
         keep_tombstones: bool = True,
         expire_before: Any | None = None,
+        max_task_bytes: int | None = None,
     ) -> tuple[dict[str, list[str]], int]:
         """Zero-shuffle per-bucket rewrite: one Arrow map task per bucket
         reads that bucket's base+delta files, resolves last-writer-wins
@@ -2898,7 +2899,7 @@ class LakeTable:
         commit_rel = os.path.join(_DATA_DIR, token)
         commit_abs = os.path.join(self.path, commit_rel)
         root = self.path
-        rows = [
+        plain = [
             (
                 b,
                 [os.path.join(root, f) for f in snap.bucket_files.get(str(b), [])],
@@ -2907,29 +2908,50 @@ class LakeTable:
             for b in targets
         ]
 
-        # Task placement: exactly ONE bucket per partition, biggest bucket
-        # first. A hash repartition over the bucket column lands 64 buckets
-        # in 64 partitions balls-in-bins style — the fullest task carries
-        # 3-4 buckets while a third of the slots sit empty, and that
-        # straggler alone costs ~15-20% of the wave at high parallelism
-        # (it is invisible at 1 core, which is exactly how it silently
-        # degrades the N->4N compaction scaling ratio). parallelize with
-        # numSlices == len(rows) pins one row per partition; sorting by
-        # on-disk bytes descending is LPT scheduling — the big buckets
-        # start in the first wave and the small ones pack the tail.
-        def _bucket_bytes(r) -> int:
+        def _bucket_bytes(files: list[str]) -> int:
             n = 0
-            for f in r[1] + r[2]:
+            for f in files:
                 try:
                     n += os.path.getsize(f)
                 except OSError:
                     pass
             return n
 
-        rows.sort(key=_bucket_bytes, reverse=True)
+        sizes = {r[0]: _bucket_bytes(r[1] + r[2]) for r in plain}
+        # Hot-bucket sharding: a whole-bucket task is a parallelism CEILING
+        # — at 32 cores the 4 hot-conversation buckets (~4x median bytes)
+        # alone held the compaction wall above the apply wall. Buckets over
+        # the task ceiling split into k key-hash shards; every shard reads
+        # the bucket's files but keeps only its own keys, so LWW stays
+        # per-key exact (a key's rows land in exactly one shard) at the
+        # cost of re-reading the hot bucket k times — the same
+        # split-oversized-file-groups call Iceberg's rewrite_data_files
+        # makes. Default ceiling: 2x the median bucket's bytes (and never
+        # below 32 MiB), so uniform tables keep one task per bucket.
+        if max_task_bytes is None:
+            nonzero = sorted(s for s in sizes.values() if s > 0) or [0]
+            med = nonzero[len(nonzero) // 2]
+            max_task_bytes = max(32 << 20, 2 * med)
+        rows = []
+        for b, base_files, delta_files in plain:
+            k = min(16, max(1, -(-sizes[b] // max_task_bytes)))
+            for i in range(k):
+                rows.append((b, base_files, delta_files, i, k))
+
+        # Task placement: exactly ONE (bucket, shard) per partition,
+        # biggest first. A hash repartition over the bucket column lands
+        # 64 tasks in 64 partitions balls-in-bins style — the fullest task
+        # carries 3-4 buckets while a third of the slots sit empty, a
+        # straggler tax invisible at 1 core and 15-20% per wave at high
+        # parallelism. parallelize with numSlices == len(rows) pins one
+        # task per partition; sorting by on-disk bytes descending is LPT
+        # scheduling — big tasks start in the first wave, small ones pack
+        # the tail.
+        rows.sort(key=lambda r: sizes[r[0]] // r[4], reverse=True)
         tasks = self.spark.createDataFrame(
             self.spark.sparkContext.parallelize(rows, max(1, len(rows))),
-            "bucket int, base array<string>, delta array<string>",
+            "bucket int, base array<string>, delta array<string>, "
+            "shard int, n_shards int",
         )
 
         def rewrite(batches):
@@ -2941,8 +2963,9 @@ class LakeTable:
 
             for pdf in batches:
                 out = []
-                for b, base_files, delta_files in zip(
-                    pdf["bucket"], pdf["base"], pdf["delta"]
+                for b, base_files, delta_files, shard, n_shards in zip(
+                    pdf["bucket"], pdf["base"], pdf["delta"],
+                    pdf["shard"], pdf["n_shards"],
                 ):
                     parts = [pq.read_table(f) for f in list(base_files)]
                     parts += [pq.read_table(f) for f in list(delta_files)]
@@ -2972,12 +2995,29 @@ class LakeTable:
                             f"bucket {b}: NULL merge key present; "
                             "use compact(strategy='shuffle')"
                         )
+                    if int(n_shards) > 1:
+                        # hot-bucket shard: keep only this task's keys.
+                        # hash_pandas_object is deterministic (fixed
+                        # default hash key), so every shard computes the
+                        # same key -> shard assignment and a key's rows
+                        # land in exactly ONE shard — per-key LWW intact
+                        h = pd.util.hash_pandas_object(
+                            kdf[list(keys)], index=False
+                        ).to_numpy()
+                        mask = (h % np.uint64(int(n_shards))) == np.uint64(
+                            int(shard)
+                        )
+                        if not mask.any():
+                            out.append((int(b), None, 0, 0))
+                            continue
+                        tbl = tbl.filter(pa.array(mask))
+                        kdf = kdf[mask].reset_index(drop=True)
                     sorted_kdf = kdf.sort_values(
                         list(keys) + list(order), kind="stable"
                     )
                     karr = sorted_kdf[list(keys)].to_numpy()
                     if len(karr) == 0:
-                        out.append((int(b), None, 0))
+                        out.append((int(b), None, 0, 0))
                         continue
                     run_break = (karr[1:] != karr[:-1]).any(axis=1)
                     is_win = (
@@ -3046,7 +3086,7 @@ class LakeTable:
                     win = win.cast(pa.schema(_fields))
                     bdir = os.path.join(commit_abs, f"bucket={int(b)}")
                     os.makedirs(bdir, exist_ok=True)
-                    fname = "part-00000.parquet"
+                    fname = f"part-{int(shard):05d}.parquet"
                     pq.write_table(
                         win, os.path.join(bdir, fname), compression="snappy"
                     )
@@ -3076,6 +3116,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         summary: dict[str, Any] | None = None,
         strategy: str = "local",
+        max_task_bytes: int | None = None,
     ) -> Snapshot:
         """Materialise delta layers back into base files (Iceberg
         ``rewrite_data_files`` analogue). Only buckets that actually carry
@@ -3112,7 +3153,9 @@ class LakeTable:
             strategy = "shuffle"
         token = f"c{snap.snapshot_id + 1}-{uuid.uuid4().hex[:12]}"
         if strategy == "local":
-            new_files, n_tombs = self._rewrite_buckets_local(snap, targets, token)
+            new_files, n_tombs = self._rewrite_buckets_local(
+                snap, targets, token, max_task_bytes=max_task_bytes
+            )
             target_set = set(targets)
             for b in targets:
                 new_files.setdefault(str(b), [])

@@ -3137,7 +3137,15 @@ class LakeTable:
         with cores like the scan itself. Memory bound: one bucket per task
         — ``bucket_count`` is sized so a bucket fits an executor (the same
         contract Iceberg file groups have); ``'shuffle'`` remains the
-        fallback for tables whose buckets outgrew their sizing."""
+        fallback for tables whose buckets outgrew their sizing.
+
+        Hot buckets over ``max_task_bytes`` (default: 2x the median
+        bucket's bytes, floor 32 MiB) additionally split into key-hash
+        SHARDS — one task per shard, each keeping only its own keys, so
+        a skewed bucket stops being a parallelism ceiling (Iceberg's
+        oversized-file-group split). Per-key LWW is unaffected: the hash
+        is deterministic, so every key's rows resolve in exactly one
+        shard."""
         snap = self.snapshot()
         targets = snap.delta_buckets()
         if buckets is not None:

@@ -257,9 +257,18 @@ def main() -> int:
     _partial("generate", events=EVENTS)
 
     try:
-        res_lo, res_hi, paired = _cdc_pair(changes, scratch)
+        try:
+            res_lo, res_hi, paired = _cdc_pair(changes, scratch)
+        except Exception as e:
+            # one retry before surrendering the interleaved protocol: a
+            # transient worker death (round-5 run 1) otherwise demotes the
+            # whole artifact to the sequential fallback's unpaired numbers
+            _partial("cdc_pair_retry", error=str(e)[:400])
+            if BUDGET > 0 and _remaining() < BUDGET * 0.45:
+                raise  # not enough budget for a full second pair
+            res_lo, res_hi, paired = _cdc_pair(changes, scratch)
     except Exception as e:  # a dead step worker must never void the artifact
-        _partial("cdc_pair_fallback", error=str(e)[:200])
+        _partial("cdc_pair_fallback", error=str(e)[:400])
         res_lo = _worker(
             ["--mode", "cdc", "--cpus", str(LO_CORES), "--events", str(EVENTS),
              "--chunks", "2", "--changes", changes, "--repeats", str(REPEATS),
